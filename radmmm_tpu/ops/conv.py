@@ -1,0 +1,148 @@
+"""Masked 1-D convolutions, channels-last, with weight-norm and partial padding.
+
+Replaces the reference's ConvNorm / PartialConv1d stack (common.py:152-191,
+partialconv1d.py:43-94). Two key behavioral points reproduced exactly:
+
+* Masked conv == the reference's per-item "conv the truncated sequence" loop
+  (common.py:468-476, 281-290): convolving a zero-masked padded sequence with
+  zero ('SAME') padding is mathematically identical to convolving each item
+  truncated to its length, so we batch it — no per-item Python loop.
+* Partial padding renormalizes outputs near mask/padding boundaries by
+  slide_winsize / (#valid taps), and re-zeroes masked positions.
+
+Layout is (B, T, C); kernels are (K, C_in, C_out) (lax conv_general NWC/WIO).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def xavier_uniform_gain(gain: float):
+    """torch.nn.init.xavier_uniform_ with explicit gain, for (K, Cin, Cout)."""
+    def init(key, shape, dtype=jnp.float32):
+        k, cin, cout = shape
+        fan_in, fan_out = cin * k, cout * k
+        bound = gain * np.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def calculate_gain(nonlinearity: str) -> float:
+    return {"linear": 1.0, "relu": float(np.sqrt(2.0)), "tanh": 5.0 / 3}[nonlinearity]
+
+
+def conv1d_same(x: jax.Array, kernel: jax.Array, dilation: int = 1,
+                padding: Optional[int] = None) -> jax.Array:
+    """(B, T, Cin) x (K, Cin, Cout) -> (B, T', Cout), zero padding."""
+    k = kernel.shape[0]
+    if padding is None:
+        padding = dilation * (k - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(1,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+class MaskedConv1d(nn.Module):
+    """ConvNorm equivalent: optional weight norm, partial padding, mask re-zero.
+
+    Mirrors common.py:152-191. `mask` is (B, T) (float or bool) or None.
+    """
+    features: int
+    kernel_size: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    use_partial_padding: bool = False
+    use_weight_norm: bool = False
+    w_init_gain: str = "linear"
+    padding: Optional[int] = None
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+        cin = x.shape[-1]
+        shape = (self.kernel_size, cin, self.features)
+        if self.zero_init:
+            w_init = nn.initializers.zeros
+        else:
+            w_init = xavier_uniform_gain(calculate_gain(self.w_init_gain))
+        if self.use_weight_norm:
+            # torch weight_norm(dim=0): per-output-channel g over (Cin, K)
+            v = self.param("v", w_init, shape)
+            g = self.param(
+                "g", lambda _, s: jnp.linalg.norm(
+                    v.transpose(2, 0, 1).reshape(self.features, -1), axis=1),
+                (self.features,))
+            norm = jnp.linalg.norm(
+                v.transpose(2, 0, 1).reshape(self.features, -1), axis=1)
+            kernel = v * (g / jnp.maximum(norm, 1e-12))[None, None, :]
+        else:
+            kernel = self.param("kernel", w_init, shape)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+
+        fmask = None
+        if mask is not None:
+            fmask = mask.astype(x.dtype)[..., None]  # (B, T, 1)
+            x = x * fmask
+
+        raw = conv1d_same(x, kernel, self.dilation, self.padding)
+
+        if self.use_partial_padding:
+            # slide_winsize / conv(mask) renormalization (partialconv1d.py:74-89)
+            ones_kernel = jnp.ones((self.kernel_size, 1, 1), x.dtype)
+            m = (fmask if fmask is not None
+                 else jnp.ones((1, x.shape[1], 1), x.dtype))
+            update_mask = conv1d_same(m, ones_kernel, self.dilation, self.padding)
+            mask_ratio = self.kernel_size / (update_mask + 1e-6)
+            update_mask = jnp.clip(update_mask, 0.0, 1.0)
+            mask_ratio = mask_ratio * update_mask
+            if bias is not None:
+                out = (raw) * mask_ratio + bias[None, None, :] * update_mask
+            else:
+                out = raw * mask_ratio
+        else:
+            out = raw if bias is None else raw + bias[None, None, :]
+
+        if fmask is not None:
+            # "always re-zero output if mask is available" (common.py:186-190)
+            out = out * fmask
+        return out
+
+
+class Linear(nn.Module):
+    """LinearNorm equivalent (common.py:139-149): xavier-uniform init."""
+    features: int
+    use_bias: bool = True
+    w_init_gain: str = "linear"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        gain = calculate_gain(self.w_init_gain)
+        bound = gain * np.sqrt(6.0 / (cin + self.features))
+        kernel = self.param(
+            "kernel",
+            lambda key, s: jax.random.uniform(key, s, jnp.float32, -bound, bound),
+            (cin, self.features))
+        out = x @ kernel
+        if self.use_bias:
+            # torch Linear default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+            b_bound = 1.0 / np.sqrt(cin)
+            bias = self.param(
+                "bias",
+                lambda key, s: jax.random.uniform(key, s, jnp.float32,
+                                                  -b_bound, b_bound),
+                (self.features,))
+            out = out + bias
+        return out

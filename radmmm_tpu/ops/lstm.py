@@ -1,0 +1,132 @@
+"""Masked (bi)directional LSTM as lax.scan recurrences.
+
+TPU-native replacement for the reference's packed-sequence LSTMs
+(common.py:281-331, 374-395, 425-504; models/radmmm.py:136-146). Packing is a
+GPU/cuDNN idiom; on TPU we scan over the padded time axis and carry hidden
+state through masked (padding) steps unchanged, which is mathematically
+identical to pack_padded_sequence/pad_packed_sequence semantics:
+
+* forward direction: h/c update only where mask==1; outputs at padding are 0
+  (pad_packed zero-fills).
+* backward direction: scan the time-reversed sequence; leading padding rows
+  carry the zero initial state so the first *valid* reverse step sees h0=0,
+  exactly like packing.
+
+Gate order follows torch (i, f, g, o). Weights: Wi (in, 4H), Wh (H, 4H),
+b_ih + b_hh both kept for checkpoint-compatibility with torch state dicts.
+Optional spectral norm on Wh (one power iteration per call, mutable 'spectral'
+collection) mirrors nn.utils.spectral_norm(weight_hh_l0) (common.py:273-276).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def _uniform_lstm_init(hidden: int):
+    bound = 1.0 / np.sqrt(hidden)
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def lstm_scan(x: jax.Array, mask: jax.Array, wi: jax.Array, wh: jax.Array,
+              bias: jax.Array, reverse: bool = False) -> jax.Array:
+    """Single-direction masked LSTM. x: (B, T, C), mask: (B, T) float.
+
+    Returns outputs (B, T, H), zero at padding positions.
+    """
+    B = x.shape[0]
+    H = wh.shape[0]
+    # hoist the input projection out of the scan: one big MXU matmul
+    x_proj = x @ wi + bias  # (B, T, 4H)
+    if reverse:
+        x_proj = jnp.flip(x_proj, axis=1)
+        mask = jnp.flip(mask, axis=1)
+
+    def step(carry, inp):
+        h, c = carry
+        xp, m = inp  # (B, 4H), (B,)
+        gates = xp + h @ wh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        m = m[:, None]
+        h = jnp.where(m > 0, h_new, h)
+        c = jnp.where(m > 0, c_new, c)
+        return (h, c), h_new * m
+
+    h0 = jnp.zeros((B, H), x.dtype)
+    c0 = jnp.zeros((B, H), x.dtype)
+    xs = (jnp.swapaxes(x_proj, 0, 1), jnp.swapaxes(mask, 0, 1))
+    _, ys = jax.lax.scan(step, (h0, c0), xs)
+    ys = jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+    if reverse:
+        ys = jnp.flip(ys, axis=1)
+    return ys
+
+
+class SpectralNormedParam(nn.Module):
+    """Spectral norm wrapper state for a 2-D weight, torch semantics.
+
+    One power iteration per training call; u persisted in 'spectral'.
+    """
+    shape: tuple
+    name_prefix: str = "wh"
+
+    @nn.compact
+    def __call__(self, w: jax.Array, update: bool) -> jax.Array:
+        # torch views weight_hh (4H, H); ours is (H, 4H) -> use transpose view
+        w2d = w.T  # (4H, H)
+        u = self.variable(
+            "spectral", f"{self.name_prefix}_u",
+            lambda: jax.random.normal(self.make_rng("params")
+                                      if self.has_rng("params")
+                                      else jax.random.key(0), (w2d.shape[0],)))
+        u_val = u.value / jnp.maximum(jnp.linalg.norm(u.value), 1e-12)
+        v = w2d.T @ u_val
+        v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+        u_new = w2d @ v
+        u_new = u_new / jnp.maximum(jnp.linalg.norm(u_new), 1e-12)
+        if update and not self.is_initializing():
+            u.value = u_new
+        sigma = u_new @ (w2d @ v)
+        return w / sigma
+
+
+class MaskedLSTM(nn.Module):
+    """(Bi)LSTM over padded sequences. hidden = per-direction hidden size."""
+    hidden: int
+    bidirectional: bool = True
+    spectral_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None,
+                 update_sn: bool = False) -> jax.Array:
+        if mask is None:
+            m = jnp.ones(x.shape[:2], x.dtype)
+        else:
+            m = mask.astype(x.dtype)
+        cin = x.shape[-1]
+        init = _uniform_lstm_init(self.hidden)
+        dirs = ["fwd", "bwd"] if self.bidirectional else ["fwd"]
+        outs = []
+        for d in dirs:
+            wi = self.param(f"wi_{d}", init, (cin, 4 * self.hidden))
+            wh = self.param(f"wh_{d}", init, (self.hidden, 4 * self.hidden))
+            b_ih = self.param(f"b_ih_{d}", init, (4 * self.hidden,))
+            b_hh = self.param(f"b_hh_{d}", init, (4 * self.hidden,))
+            if self.spectral_norm:
+                wh = SpectralNormedParam(shape=wh.shape,
+                                         name_prefix=f"wh_{d}")(wh, update_sn)
+            outs.append(lstm_scan(x, m, wi, wh, b_ih + b_hh,
+                                  reverse=(d == "bwd")))
+        return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
