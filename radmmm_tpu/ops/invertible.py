@@ -140,8 +140,16 @@ def whitening_stats(data: jax.Array, mask: jax.Array,
     return mean, covar
 
 
-def whitening_params_from_stats(mean: jax.Array, covar: jax.Array):
-    """upper-Cholesky of covar^-1: W s.t. cov(W(x-mean)) = I."""
+def whitening_params_from_stats(mean: jax.Array, covar: jax.Array,
+                                ridge: float = 1e-6):
+    """upper-Cholesky of covar^-1: W s.t. cov(W(x-mean)) = I.
+
+    A small trace-scaled ridge keeps the inverse finite when the init batch
+    has fewer valid frames than channels (the reference assumes a large
+    first batch and would NaN here, common.py:581-583).
+    """
+    c = covar.shape[0]
+    covar = covar + (ridge * jnp.trace(covar) / c) * jnp.eye(c)
     inv_covar = jnp.linalg.inv(covar.astype(jnp.float32))
     # upper Cholesky U with A = Uᵀ U  ==  (lower cholesky of A)ᵀ
     chol_l = jnp.linalg.cholesky(inv_covar)

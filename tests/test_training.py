@@ -1,0 +1,136 @@
+"""Training: RAdam parity, overfit smoke test, 8-device data-parallel step."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radmmm_tpu.models.tts import TTSModel
+from radmmm_tpu.parallel import mesh as pmesh
+from radmmm_tpu.training.optim import radam_exact, build_optimizer
+from radmmm_tpu.training.step import (LossConfig, create_train_state,
+                                      make_train_step, make_val_step,
+                                      make_whitening_init, phase_flags)
+from tests.test_tts_model import tiny_config, tiny_batch
+
+
+def radam_oracle_step(p, g, m, v, t, lr=0.01, b1=0.9, b2=0.999, eps=1e-8,
+                      wd=0.0):
+    """Numpy oracle of the original RAdam update (radam.py:63-142)."""
+    import math
+    v = b2 * v + (1 - b2) * g * g
+    m = b1 * m + (1 - b1) * g
+    beta2_t = b2 ** t
+    n_sma_max = 2 / (1 - b2) - 1
+    n_sma = n_sma_max - 2 * t * beta2_t / (1 - beta2_t)
+    if n_sma >= 5:
+        step_size = lr * math.sqrt(
+            (1 - beta2_t) * (n_sma - 4) / (n_sma_max - 4) * (n_sma - 2)
+            / n_sma * n_sma_max / (n_sma_max - 2)) / (1 - b1 ** t)
+    else:
+        step_size = lr / (1 - b1 ** t)
+    if wd != 0:
+        p = p - wd * lr * p
+    if n_sma >= 5:
+        p = p - step_size * m / (np.sqrt(v) + eps)
+    else:
+        p = p - step_size * m
+    return p, m, v
+
+
+def test_radam_matches_oracle():
+    rng = np.random.default_rng(0)
+    p0 = rng.standard_normal(5).astype(np.float32)
+    grads = [rng.standard_normal(5).astype(np.float32) for _ in range(12)]
+
+    tx = radam_exact(0.01, weight_decay=0.001)
+    opt_state = tx.init(jnp.asarray(p0))
+    p = jnp.asarray(p0)
+    p_ref, m, v = p0.astype(np.float64), np.zeros(5), np.zeros(5)
+    for t, g in enumerate(grads, start=1):
+        upd, opt_state = tx.update(jnp.asarray(g), opt_state, p)
+        p = p + upd
+        p_ref, m, v = radam_oracle_step(p_ref, g.astype(np.float64), m, v, t,
+                                        lr=0.01, wd=0.001)
+        np.testing.assert_allclose(np.asarray(p), p_ref, atol=1e-5,
+                                   err_msg=f"step {t}")
+
+
+def test_overfit_single_batch(rng):
+    """Loss must decrease markedly when overfitting one tiny batch —
+    the reference's overfit_batches debugging idiom (SURVEY.md §4)."""
+    model = TTSModel(config=tiny_config())
+    # enough mel frames that the whitening covariance (16 grouped dims) is
+    # well-conditioned: (48+42)//2 = 45 valid grouped frames
+    batch = tiny_batch(rng, T_mel=48)
+    tx = build_optimizer("RAdam", learning_rate=5e-3, grad_clip_val=1.0)
+    state = create_train_state(model, tx, batch, jax.random.key(0))
+
+    whiten = jax.jit(make_whitening_init(model))
+    state = whiten(state, batch)
+
+    cfg = LossConfig(n_group_size=2, cross_covariance_weight=1.0,
+                     speaker_reg={"variance": 0.0, "covariance": 0.0})
+    step_fn = jax.jit(make_train_step(model, cfg, tx, binarize=False,
+                                      kl_on=False))
+    losses = []
+    key = jax.random.key(1)
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, batch, sub)
+        losses.append(float(metrics["loss_mel"]))
+    assert losses[-1] < losses[0] - 0.2, losses[::6]
+    assert np.isfinite(losses).all()
+
+    # phase switch: binarized step compiles and runs too
+    bin_step = jax.jit(make_train_step(model, cfg, tx, binarize=True,
+                                       kl_on=True))
+    state, metrics = bin_step(state, batch, key)
+    assert float(metrics["binarization_loss"]) > 0
+    # val step
+    val = jax.jit(make_val_step(model, cfg))
+    vm = val(state, batch)
+    assert np.isfinite(float(vm["loss"]))
+
+
+def test_phase_flags():
+    cfg = LossConfig(binarization_start_iter=10, kl_loss_start_iter=20)
+    assert phase_flags(0, cfg) == (False, False)
+    assert phase_flags(10, cfg) == (True, False)
+    assert phase_flags(21, cfg) == (True, True)
+
+
+def test_data_parallel_step_8_devices(rng):
+    """Full train step jitted over an 8-device mesh with the batch sharded
+    on `data`: must compile, run, and match the single-device result."""
+    model = TTSModel(config=tiny_config())
+    batch = tiny_batch(rng, B=8)
+    batch["input_lengths"] = jnp.asarray([7, 5, 7, 6, 7, 5, 6, 7], jnp.int32)
+    batch["output_lengths"] = jnp.asarray([16, 10, 16, 12, 14, 10, 12, 16],
+                                          jnp.int32)
+    batch["speaker_ids"] = jnp.asarray([0, 1, 2, 0, 1, 2, 0, 1], jnp.int32)
+    batch["accent_ids"] = jnp.asarray([0, 1, 0, 1, 0, 1, 0, 1], jnp.int32)
+    batch["speaker_f0_mean"] = jnp.full((8,), 5.0)
+    batch["speaker_f0_std"] = jnp.full((8,), 0.3)
+
+    tx = build_optimizer("RAdam", learning_rate=1e-3)
+    state = create_train_state(model, tx, batch, jax.random.key(0))
+    cfg = LossConfig(n_group_size=2)
+    step = make_train_step(model, cfg, tx, binarize=False, kl_on=False)
+
+    # single device reference
+    s1, m1 = jax.jit(step)(state, batch, jax.random.key(2))
+
+    mesh = pmesh.make_mesh(n_data=8, n_model=1)
+    sharded_batch = pmesh.shard_batch(batch, mesh)
+    rep = pmesh.replicated(mesh)
+    state_sh = jax.device_put(state, rep)
+    with jax.set_mesh(mesh):
+        s8, m8 = jax.jit(step)(state_sh, sharded_batch,
+                               jax.device_put(jax.random.key(2), rep))
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=2e-3)
+    # params updated identically (spot check one leaf)
+    l1 = np.asarray(s1.params["text_embeddings"]["embedding"])
+    l8 = np.asarray(s8.params["text_embeddings"]["embedding"])
+    np.testing.assert_allclose(l8, l1, atol=2e-4)
