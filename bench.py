@@ -1,0 +1,85 @@
+"""Benchmark: end-to-end text->mel synthesis throughput on one TPU chip.
+
+Flagship RADMMM configuration (8 flows, WN-1024 couplings, group size 2),
+batch 32, 800 mel frames per item (~9.3 s of 22.05 kHz audio at hop 256).
+Reports the aggregate real-time factor — seconds of audio synthesized per
+wall-clock second per chip — against the ≥100x north star (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from radmmm_tpu.models.tts import TTSModel, default_radmmm_config
+
+    B = 32
+    T_TEXT = 96
+    MAX_FRAMES = 800
+    HOP, SR = 256, 22050
+
+    model = TTSModel(config=default_radmmm_config())
+    rng = np.random.default_rng(0)
+
+    text = jnp.asarray(rng.integers(0, 426, (B, T_TEXT)), jnp.int32)
+    text_lens = jnp.full((B,), T_TEXT, jnp.int32)
+    speaker_ids = jnp.asarray(rng.integers(0, 21, (B,)), jnp.int32)
+    accent_ids = jnp.asarray(rng.integers(0, 7, (B,)), jnp.int32)
+    f0_mean = jnp.full((B,), 5.0, jnp.float32)
+    f0_std = jnp.full((B,), 0.3, jnp.float32)
+
+    # init via a tiny batch (shapes don't matter for params)
+    init_batch = {
+        "text": text[:2, :8], "input_lengths": jnp.asarray([8, 8], jnp.int32),
+        "mel": jnp.zeros((2, 32, 80)), "output_lengths":
+            jnp.asarray([32, 32], jnp.int32),
+        "speaker_ids": speaker_ids[:2], "accent_ids": accent_ids[:2],
+        "f0": jnp.zeros((2, 32)), "voiced_mask": jnp.zeros((2, 32)),
+        "energy_avg": jnp.zeros((2, 32)),
+        "attn_prior": jnp.full((2, 32, 8), 1.0 / 8),
+        "speaker_f0_mean": f0_mean[:2], "speaker_f0_std": f0_std[:2],
+    }
+    variables = jax.jit(
+        functools.partial(model.init, binarize=False, train=False))(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            init_batch)
+
+    infer = jax.jit(functools.partial(
+        model.apply, method=TTSModel.infer, sigma=0.8,
+        max_frames=MAX_FRAMES))
+
+    def run(key):
+        return infer(variables, key, text, text_lens, speaker_ids,
+                     accent_ids=accent_ids, f0_mean=f0_mean, f0_std=f0_std)
+
+    out = run(jax.random.key(0))          # compile + warm
+    out["mel"].block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(jax.random.key(i + 1))
+        jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    frames = B * MAX_FRAMES * iters
+    audio_seconds = frames * HOP / SR
+    rtf = audio_seconds / dt
+    print(json.dumps({
+        "metric": "tts_mel_rtf_b32",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rtf / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
