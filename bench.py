@@ -52,22 +52,22 @@ def main():
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
             init_batch)
 
-    infer = jax.jit(functools.partial(
-        model.apply, method=TTSModel.infer, sigma=0.8,
-        max_frames=MAX_FRAMES))
+    @jax.jit
+    def run(v, key):
+        out = model.apply(v, key, text, text_lens, speaker_ids,
+                          accent_ids=accent_ids, f0_mean=f0_mean,
+                          f0_std=f0_std, sigma=0.8, max_frames=MAX_FRAMES,
+                          method=TTSModel.infer)
+        # reduce in-graph; fetching the scalar forces real completion (the
+        # axon relay's block_until_ready returns before execution finishes)
+        return jnp.sum(out["mel"])
 
-    def run(key):
-        return infer(variables, key, text, text_lens, speaker_ids,
-                     accent_ids=accent_ids, f0_mean=f0_mean, f0_std=f0_std)
-
-    out = run(jax.random.key(0))          # compile + warm
-    out["mel"].block_until_ready()
+    float(run(variables, jax.random.key(0)))   # compile + warm
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        out = run(jax.random.key(i + 1))
-        jax.block_until_ready(out)
+        float(run(variables, jax.random.key(i + 1)))
     dt = time.perf_counter() - t0
 
     frames = B * MAX_FRAMES * iters
