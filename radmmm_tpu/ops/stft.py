@@ -161,3 +161,50 @@ class MelSpectrogram:
 
     def n_frames(self, n_samples: int) -> int:
         return 1 + n_samples // self.hop_length
+
+    def stft(self, y: jax.Array):
+        """(B, T) -> complex (B, n_frames, n_freq) (magnitude+phase source)."""
+        frames = frame_signal(y, self.filter_length, self.hop_length)
+        frames = frames * self.window[None, None, :]
+        return jnp.fft.rfft(frames, n=self.filter_length, axis=-1)
+
+    def istft(self, magnitude: jax.Array, phase: jax.Array) -> jax.Array:
+        """Inverse STFT with window-sumsquare normalization.
+
+        magnitude/phase: (B, n_frames, n_freq). Returns (B, T) with the
+        center padding removed, matching STFT.inverse
+        (audio_processing.py:257-286).
+        """
+        n_fft, hop = self.filter_length, self.hop_length
+        spec = magnitude * jnp.exp(1j * phase)
+        frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)     # (B, F, n_fft)
+        frames = frames * self.window[None, None, :]
+        B, n_frames_, _ = frames.shape
+        T = n_fft + hop * (n_frames_ - 1)
+        # overlap-add via scatter
+        idx = (jnp.arange(n_frames_) * hop)[:, None] + jnp.arange(n_fft)[None]
+        sig = jnp.zeros((B, T))
+        sig = sig.at[:, idx.reshape(-1)].add(
+            frames.reshape(B, -1), unique_indices=False)
+        # window sum-square envelope
+        wss = jnp.zeros((T,))
+        wsq = (self.window ** 2)
+        wss = wss.at[idx.reshape(-1)].add(
+            jnp.broadcast_to(wsq, (n_frames_, n_fft)).reshape(-1))
+        sig = jnp.where(wss > 1e-11, sig / jnp.maximum(wss, 1e-11), sig)
+        pad = n_fft // 2
+        return sig[:, pad:T - pad]
+
+
+def griffin_lim(mel_or_mag: jax.Array, stft: "MelSpectrogram", rng,
+                n_iters: int = 30) -> jax.Array:
+    """Phase recovery by iterative STFT projection
+    (audio_processing.py:79-95). mel_or_mag: (B, n_frames, n_freq)."""
+    import jax as _jax
+    phase = _jax.random.uniform(rng, mel_or_mag.shape, minval=-jnp.pi,
+                                maxval=jnp.pi)
+    signal = stft.istft(mel_or_mag, phase)
+    for _ in range(n_iters):
+        spec = stft.stft(signal)
+        signal = stft.istft(mel_or_mag, jnp.angle(spec))
+    return signal
