@@ -122,6 +122,99 @@ def masked_bce_loss(prediction_logits, target, mask):
     return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+class RADTTSDeterministicLoss:
+    """L1 mel loss + attention losses, for the deterministic decoder regime
+    (loss.py:351-376)."""
+
+    def __init__(self, ctc_blank_logprob=-1.0, kl_loss_start_iter=5000,
+                 binarization_loss_weight=1.0, ctc_loss_weight=0.1):
+        self.ctc_blank_logprob = ctc_blank_logprob
+        self.binarization_loss_weight = binarization_loss_weight
+        self.ctc_loss_weight = ctc_loss_weight
+
+    def __call__(self, model_output, in_lens: SeqLens, out_lens: SeqLens,
+                 binarization_on: bool):
+        loss_dict = {}
+        if model_output.get("mel_hat") is not None:
+            m = out_lens.fmask()[..., None]
+            mel, mel_hat = model_output["mel"], model_output["mel_hat"]
+            n_dims = mel.shape[-1]
+            loss = (jnp.abs(mel - mel_hat) * m).sum() / (
+                n_dims * jnp.maximum(m.sum(), 1.0))
+            loss_dict["mel_mae_loss"] = (loss, 1.0)
+        loss_dict.update(attention_loss(
+            model_output["attn"], model_output["attn_soft"],
+            model_output["attn_logprob"], binarization_on, in_lens, out_lens,
+            self.ctc_blank_logprob, self.binarization_loss_weight,
+            self.ctc_loss_weight))
+        return loss_dict
+
+
+class RADTTSDiffusionLoss:
+    """Noise-prediction MSE + attention losses (loss.py:378-406)."""
+
+    def __init__(self, ctc_blank_logprob=-1.0, kl_loss_start_iter=5000,
+                 binarization_loss_weight=1.0, ctc_loss_weight=0.1):
+        self.ctc_blank_logprob = ctc_blank_logprob
+        self.binarization_loss_weight = binarization_loss_weight
+        self.ctc_loss_weight = ctc_loss_weight
+
+    def __call__(self, model_output, in_lens: SeqLens, out_lens: SeqLens,
+                 binarization_on: bool):
+        loss_dict = {}
+        if model_output.get("noise_hat") is not None:
+            m = out_lens.fmask()[..., None]
+            noise, noise_hat = model_output["noise"], model_output["noise_hat"]
+            n_dims = noise.shape[-1]
+            loss = (((noise - noise_hat) ** 2) * m).sum() / (
+                n_dims * jnp.maximum(m.sum(), 1.0))
+            loss_dict["noise_mse_loss"] = (loss, 1.0)
+        loss_dict.update(attention_loss(
+            model_output["attn"], model_output["attn_soft"],
+            model_output["attn_logprob"], binarization_on, in_lens, out_lens,
+            self.ctc_blank_logprob, self.binarization_loss_weight,
+            self.ctc_loss_weight))
+        return loss_dict
+
+
+class RADTTSE2EGANLoss:
+    """Multi-res STFT reconstruction + attention losses for the end-to-end
+    waveform regime (loss.py:408-464)."""
+
+    def __init__(self, ctc_blank_logprob=-1.0, kl_loss_start_iter=5000,
+                 binarization_loss_weight=1.0, ctc_loss_weight=0.1,
+                 stft_loss_sc_weight=1.0, stft_loss_mag_weight=1.0,
+                 fft_lengths=(1024, 2048, 512, 64, 8192),
+                 hop_lengths=(120, 240, 50, 10, 2000),
+                 win_lengths=(600, 1200, 240, 50, 8000),
+                 sampling_rate=22050, a_weighting=True):
+        from radmmm_tpu.losses.stft_loss import MultiResolutionSTFTLoss
+        self.stft_loss_sc_weight = stft_loss_sc_weight
+        self.stft_loss_mag_weight = stft_loss_mag_weight
+        self.ctc_blank_logprob = ctc_blank_logprob
+        self.binarization_loss_weight = binarization_loss_weight
+        self.ctc_loss_weight = ctc_loss_weight
+        self.mrstft = MultiResolutionSTFTLoss(
+            fft_lengths, hop_lengths, win_lengths, sampling_rate, a_weighting)
+
+    def __call__(self, model_output, audio, audio_lens, in_lens: SeqLens,
+                 out_lens: SeqLens, binarization_on: bool):
+        loss_dict = {}
+        audio_hat = model_output["audio_hat"]
+        T = min(audio.shape[-1], audio_hat.shape[-1])
+        audio, audio_hat = audio[..., :T], audio_hat[..., :T]
+        len_ratios = audio_lens / jnp.maximum(audio_lens.max(), 1)
+        sc, mag = self.mrstft(audio, audio_hat, len_ratios)
+        loss_dict["stft_loss_sc"] = (sc, self.stft_loss_sc_weight)
+        loss_dict["stft_loss_mag"] = (mag, self.stft_loss_mag_weight)
+        loss_dict.update(attention_loss(
+            model_output["attn"], model_output["attn_soft"],
+            model_output["attn_logprob"], binarization_on, in_lens, out_lens,
+            self.ctc_blank_logprob, self.binarization_loss_weight,
+            self.ctc_loss_weight))
+        return loss_dict
+
+
 class AttributeRegressionLoss:
     def __init__(self, prefix: Optional[str] = None, weight=1.0):
         self.prefix = prefix or ""

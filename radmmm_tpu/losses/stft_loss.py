@@ -1,0 +1,97 @@
+"""Multi-resolution STFT losses (spectral convergence + log magnitude).
+
+Reference: stft_loss.py:56-363 (Tomoki Hayashi-style). Magnitudes come from
+a centered STFT (reflect pad n_fft//2, hann window of win_length centered in
+the FFT frame), clamped at 1e-7 like the reference's torch.stft path.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radmmm_tpu.ops.stft import hann_window, frame_signal
+from radmmm_tpu.utils.masking import mask_from_lengths
+
+
+def stft_magnitude(x: jax.Array, fft_size: int, hop_size: int,
+                   win_length: int) -> jax.Array:
+    """(B, T) -> (B, n_frames, fft//2+1), torch.stft(center=True) semantics."""
+    win = hann_window(win_length)
+    if win_length < fft_size:
+        lpad = (fft_size - win_length) // 2
+        win = np.pad(win, (lpad, fft_size - win_length - lpad))
+    frames = frame_signal(x, fft_size, hop_size)
+    frames = frames * jnp.asarray(win)[None, None, :]
+    spec = jnp.fft.rfft(frames, n=fft_size, axis=-1)
+    return jnp.sqrt(jnp.maximum(jnp.abs(spec) ** 2, 1e-7))
+
+
+def _lens_mask(y_mag, len_ratios):
+    lens = jnp.ceil(len_ratios * y_mag.shape[1]).astype(jnp.int32)
+    return mask_from_lengths(lens, y_mag.shape[1]).astype(y_mag.dtype), lens
+
+
+def spectral_convergence_loss(x_mag, y_mag, len_ratios=None):
+    """||y - x||_F / ||y||_F, per-frame normalized when lengths are given
+    (stft_loss.py:120-144)."""
+    if len_ratios is None:
+        return (jnp.linalg.norm(y_mag - x_mag)
+                / jnp.maximum(jnp.linalg.norm(y_mag), 1e-12))
+    m, lens = _lens_mask(y_mag, len_ratios)
+    num = jnp.sqrt(jnp.sum((y_mag - x_mag) ** 2 * m[..., None], axis=-1))
+    den = jnp.sqrt(jnp.sum(y_mag ** 2 * m[..., None], axis=-1))
+    per_frame = num / jnp.maximum(den, 1e-12) * m
+    return per_frame.sum() / jnp.maximum(lens.sum(), 1)
+
+
+def log_stft_magnitude_loss(x_mag, y_mag, len_ratios=None,
+                            log_offset: float = 0.0):
+    """L1 of log magnitudes; log_offset=1.0 gives the "A-weighted" variant's
+    log(mag+1) form (the reference's A-weights are disabled by its own FIXME,
+    stft_loss.py:186-187)."""
+    err = jnp.abs(jnp.log(y_mag + log_offset) - jnp.log(x_mag + log_offset))
+    if len_ratios is None:
+        return jnp.mean(err)
+    m, _ = _lens_mask(y_mag, len_ratios)
+    d = y_mag.shape[-1]
+    return (err * m[..., None]).sum() / jnp.maximum(m.sum() * d, 1.0)
+
+
+def a_weights(sampling_rate: int, fft_size: int) -> np.ndarray:
+    """Standard A-weighting curve over rfft bins (stft_loss.py:213-215)."""
+    f = np.linspace(0, sampling_rate / 2.0, fft_size // 2 + 1)
+    return ((12194.0 ** 2 * f ** 4)
+            / ((f ** 2 + 20.6 ** 2)
+               * np.sqrt((f ** 2 + 107.7 ** 2) * (f ** 2 + 737.9 ** 2))
+               * (f ** 2 + 12194.0 ** 2)))
+
+
+class MultiResolutionSTFTLoss:
+    """Averaged SC + log-mag losses over several resolutions
+    (stft_loss.py:262-314)."""
+
+    def __init__(self, fft_sizes: Sequence[int] = (1024, 2048, 512),
+                 hop_sizes: Sequence[int] = (120, 240, 50),
+                 win_lengths: Sequence[int] = (600, 1200, 240),
+                 sampling_rate: int = 22050, a_weighting: bool = False):
+        assert len(fft_sizes) == len(hop_sizes) == len(win_lengths)
+        self.resolutions = list(zip(fft_sizes, hop_sizes, win_lengths))
+        self.log_offset = 1.0 if a_weighting else 0.0
+
+    def __call__(self, x: jax.Array, y: jax.Array,
+                 len_ratios: Optional[jax.Array] = None):
+        if x.ndim == 3:
+            x = x.reshape(-1, x.shape[-1])
+            y = y.reshape(-1, y.shape[-1])
+        sc_total, mag_total = 0.0, 0.0
+        for fft_size, hop, win in self.resolutions:
+            x_mag = stft_magnitude(x, fft_size, hop, win)
+            y_mag = stft_magnitude(y, fft_size, hop, win)
+            sc_total += spectral_convergence_loss(x_mag, y_mag, len_ratios)
+            mag_total += log_stft_magnitude_loss(x_mag, y_mag, len_ratios,
+                                                 self.log_offset)
+        n = len(self.resolutions)
+        return sc_total / n, mag_total / n
