@@ -1,0 +1,181 @@
+"""Collation + bucketing + device-side batch featurization.
+
+Replaces DataCollate (data.py:616-790) and the per-item CPU DSP. Host-side
+`collate_host` pads raw audio/text into bucketed static shapes (bounding the
+jit recompile count, SURVEY.md §7.3 "variable lengths without dynamic
+shapes"); `Featurizer.__call__` then computes mel / F0 / voicing / energy /
+alignment priors for the whole batch in one jitted TPU computation.
+
+The reference sorts batches by text length for packed LSTMs
+(data.py:630-632); masked scans don't need sorting, so order is preserved.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radmmm_tpu.data.pitch import yin_f0
+from radmmm_tpu.ops.priors import beta_binomial_prior
+from radmmm_tpu.ops.stft import MelSpectrogram
+
+
+def round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def collate_host(items: Sequence[Optional[Dict[str, Any]]],
+                 hop_length: int = 256, audio_frames_multiple: int = 64,
+                 text_multiple: int = 16) -> Optional[Dict[str, np.ndarray]]:
+    """Pad a list of dataset items into bucketed numpy arrays.
+
+    None items (broken audio) are dropped, as in the reference
+    (data.py:624).
+    """
+    items = [x for x in items if x is not None]
+    if not items:
+        return None
+    B = len(items)
+    audio_lens = np.array([len(x["audio"]) for x in items], np.int32)
+    text_lens = np.array([len(x["text_encoded"]) for x in items], np.int32)
+
+    # bucket: pad audio so mel frames land on a multiple of
+    # audio_frames_multiple (mel frames = 1 + T // hop)
+    max_frames = round_up(1 + int(audio_lens.max()) // hop_length,
+                          audio_frames_multiple)
+    T_audio = max_frames * hop_length
+    T_text = round_up(int(text_lens.max()), text_multiple)
+
+    audio = np.zeros((B, T_audio), np.float32)
+    text = np.zeros((B, T_text), np.int32)
+    for i, x in enumerate(items):
+        audio[i, :audio_lens[i]] = x["audio"][:T_audio]
+        text[i, :text_lens[i]] = x["text_encoded"]
+
+    return {
+        "audio": audio,
+        "audio_lengths": audio_lens,
+        "text": text,
+        "input_lengths": text_lens,
+        "speaker_ids": np.array([x["speaker_id"] for x in items], np.int32),
+        "accent_ids": np.array([x["accent_id"] for x in items], np.int32),
+        "speaker_f0_mean": np.array(
+            [x["speaker_f0_mean"] for x in items], np.float32),
+        "speaker_f0_std": np.array(
+            [x["speaker_f0_std"] for x in items], np.float32),
+        "speaker_energy_mean": np.array(
+            [x["speaker_energy_mean"] for x in items], np.float32),
+        "speaker_energy_std": np.array(
+            [x["speaker_energy_std"] for x in items], np.float32),
+        "audiopaths": [x["audiopath"] for x in items],
+        "text_raw": [x["text_raw"] for x in items],
+        "language": [x["language"] for x in items],
+        "idx": np.array([x["idx"] for x in items], np.int32),
+    }
+
+
+class Featurizer:
+    """Batched on-device feature extraction -> train-step batch dict."""
+
+    def __init__(self, filter_length=1024, hop_length=256, win_length=1024,
+                 n_mel_channels=80, sampling_rate=22050, mel_fmin=0.0,
+                 mel_fmax=8000.0, f0_min=80.0, f0_max=640.0,
+                 use_log_f0=True, use_scaled_energy=True,
+                 use_attn_prior_masking=True,
+                 betabinom_scaling_factor=0.05):
+        self.mel = MelSpectrogram(filter_length, hop_length, win_length,
+                                  n_mel_channels, sampling_rate, mel_fmin,
+                                  mel_fmax)
+        self.hop_length = hop_length
+        self.filter_length = filter_length
+        self.sampling_rate = sampling_rate
+        self.f0_min, self.f0_max = f0_min, f0_max
+        self.use_log_f0 = use_log_f0
+        self.use_scaled_energy = use_scaled_energy
+        self.use_attn_prior_masking = use_attn_prior_masking
+        self.betabinom_scaling_factor = betabinom_scaling_factor
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _featurize(self, audio, audio_lens, text_lens, max_text: int):
+        mel = self.mel(audio)                         # (B, F, n_mels)
+        # truncate the +1 frame so mel frames == bucket multiple
+        mel = mel[:, :audio.shape[1] // self.hop_length]
+        mel_lens = jnp.minimum(1 + audio_lens // self.hop_length,
+                               mel.shape[1]).astype(jnp.int32)
+
+        f0, voiced, p_voiced = yin_f0(
+            audio, sampling_rate=self.sampling_rate,
+            frame_length=self.filter_length, hop_length=self.hop_length,
+            f0_min=self.f0_min, f0_max=self.f0_max)
+        f0 = f0[:, :mel.shape[1]]
+        voiced = voiced[:, :mel.shape[1]]
+        p_voiced = p_voiced[:, :mel.shape[1]]
+        if self.use_log_f0:
+            f0 = jnp.where(f0 >= self.f0_min, jnp.log(jnp.maximum(f0, 1.0)),
+                           0.0)                       # data.py:321-327
+
+        energy = mel.mean(axis=-1)                    # data.py:363-366
+        if self.use_scaled_energy:
+            energy = (energy + 20.0) / 20.0
+
+        frame_mask = (jnp.arange(mel.shape[1])[None, :]
+                      < mel_lens[:, None]).astype(mel.dtype)
+        mel = mel * frame_mask[..., None]
+        f0 = f0 * frame_mask
+        voiced = voiced * frame_mask
+        energy = energy * frame_mask
+
+        if self.use_attn_prior_masking:
+            prior = beta_binomial_prior(
+                text_lens, mel_lens, max_text=max_text,
+                max_mel=mel.shape[1],
+                scaling_factor=self.betabinom_scaling_factor)
+        else:
+            prior = jnp.ones((audio.shape[0], mel.shape[1], max_text))
+        return mel, mel_lens, f0, voiced, p_voiced, energy, prior
+
+    def __call__(self, host_batch: Dict[str, Any]) -> Dict[str, Any]:
+        """host collate dict -> full train-step batch (device arrays)."""
+        mel, mel_lens, f0, voiced, p_voiced, energy, prior = self._featurize(
+            jnp.asarray(host_batch["audio"]),
+            jnp.asarray(host_batch["audio_lengths"]),
+            jnp.asarray(host_batch["input_lengths"]),
+            int(host_batch["text"].shape[1]))
+        batch = {k: jnp.asarray(v) for k, v in host_batch.items()
+                 if isinstance(v, np.ndarray)}
+        batch.update(mel=mel, output_lengths=mel_lens, f0=f0,
+                     voiced_mask=voiced, p_voiced=p_voiced,
+                     energy_avg=energy, attn_prior=prior)
+        for k in ("audiopaths", "text_raw", "language"):
+            if k in host_batch:
+                batch[k] = host_batch[k]
+        return batch
+
+
+class BucketBatcher:
+    """Length-bucketed batch index sampler: groups utterances of similar
+    mel length so padded shapes stay in a small static set."""
+
+    def __init__(self, lengths: Sequence[float], batch_size: int,
+                 shuffle: bool = True, seed: int = 0):
+        self.lengths = np.asarray(lengths)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        order = np.argsort(self.lengths, kind="stable")
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+        if self.shuffle:
+            self.rng.shuffle(batches)
+        for b in batches:
+            if self.shuffle:
+                self.rng.shuffle(b)
+            yield list(map(int, b))
+
+    def __len__(self):
+        return (len(self.lengths) + self.batch_size - 1) // self.batch_size

@@ -1,0 +1,159 @@
+"""Data pipeline: filelists -> dataset -> collate -> device featurization."""
+import json
+import os
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from radmmm_tpu.data.collate import collate_host, Featurizer, BucketBatcher
+from radmmm_tpu.data.dataset import (AudioDataset, TextOnlyData,
+                                     attribute_id_table)
+from radmmm_tpu.data.loader import DataLoader
+from radmmm_tpu.data.module import AudioDataModule
+from tests.test_pitch import tone
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """Tiny 2-language synthetic corpus in the reference's filelist format."""
+    root = tmp_path_factory.mktemp("corpus")
+    sr = 22050
+    wav_dir = root / "wavs" / str(sr)
+    wav_dir.mkdir(parents=True)
+    rows = []
+    freqs = [150, 220, 180, 260]
+    speakers = ["spk_a", "spk_a", "spk_b", "spk_b"]
+    texts = ["hola mundo", "buenos dias", "hello world", "good morning"]
+    langs = ["es_ES", "es_ES", "en_US", "en_US"]
+    for i, (f, spk, txt) in enumerate(zip(freqs, speakers, texts)):
+        dur = 0.4 + 0.1 * i
+        wav = (tone(f, dur=dur) * 32767 / 0.6).astype(np.int16)
+        name = f"utt{i}.wav"
+        wavfile.write(wav_dir / name, sr, wav)
+        rows.append(f"{name}|{txt}|{spk}|neutral|{dur:.2f}")
+    (root / "train_es.txt").write_text(
+        "\n".join(r for r, l in zip(rows, langs) if l == "es_ES"))
+    (root / "train_en.txt").write_text(
+        "\n".join(r for r, l in zip(rows, langs) if l == "en_US"))
+
+    # per-language G2P dicts
+    (root / "es.tsv").write_text(
+        "hola\tˈola\nmundo\tˈmundo\nbuenos\tˈbwenos\ndias\tˈdias\n",
+        encoding="utf-8")
+    (root / "en.tsv").write_text(
+        "hello\thəˈloʊ\nworld\twɜrld\ngood\tɡʊd\nmorning\tˈmɔrnɪŋ\n",
+        encoding="utf-8")
+
+    stats = {s: {"log_f0_mean": 5.0, "log_f0_std": 0.3, "f0_mean": 150.0,
+                 "f0_std": 40.0, "energy_mean": 0.5, "energy_std": 0.1}
+             for s in set(speakers)}
+    (root / "stats.json").write_text(json.dumps(stats))
+
+    datasets = {
+        "es": {"basedir": str(root / "wavs"), "sampling_rate": sr,
+               "filelist_basedir": str(root), "filelist": "train_es.txt",
+               "language": "es_ES", "phonemized": False},
+        "en": {"basedir": str(root / "wavs"), "sampling_rate": sr,
+               "filelist_basedir": str(root), "filelist": "train_en.txt",
+               "language": "en_US", "phonemized": False},
+    }
+    phonemizer_cfg = {"es_ES": str(root / "es.tsv"),
+                      "en_US": str(root / "en.tsv")}
+    return root, datasets, phonemizer_cfg
+
+
+def make_module(corpus, **kw):
+    root, datasets, phonemizer_cfg = corpus
+    return AudioDataModule(
+        train_config=datasets, batch_size=4,
+        cleaner_names=["basic_cleaners"], g2p_type="phonemizer",
+        phonemizer_cfg=phonemizer_cfg,
+        dataset_kwargs=dict(speaker_stats_path=str(root / "stats.json"),
+                            dur_min=0.1, dur_max=10.2, **kw),
+        featurizer_kwargs=dict(mel_fmax=8000.0), num_threads=2)
+
+
+def test_dataset_ids_and_items(corpus):
+    dm = make_module(corpus)
+    dm.setup("fit")
+    ds = dm.trainset
+    assert len(ds) == 4
+    assert ds.speaker_ids == {"spk_a": 0, "spk_b": 1}
+    assert ds.accent_ids == {"en_US": 0, "es_ES": 1}
+    item = ds[0]
+    assert item["audio"].ndim == 1 and np.abs(item["audio"]).max() <= 1.0
+    assert item["text_encoded"].dtype == np.int32
+    assert len(item["text_encoded"]) > 2
+    assert item["speaker_f0_mean"] == 5.0
+
+
+def test_collate_and_featurize(corpus):
+    dm = make_module(corpus)
+    dm.setup("fit")
+    items = [dm.trainset[i] for i in range(4)]
+    host = collate_host(items)
+    B, T = host["audio"].shape
+    assert B == 4 and T % 256 == 0 and (T // 256) % 64 == 0
+    batch = dm.featurizer(host)
+    F = batch["mel"].shape[1]
+    assert batch["mel"].shape == (4, F, 80)
+    assert batch["attn_prior"].shape == (4, F, host["text"].shape[1])
+    mel_lens = np.asarray(batch["output_lengths"])
+    # tones are voiced: f0 present within valid frames
+    f0 = np.asarray(batch["f0"])
+    for i in range(4):
+        valid = f0[i, : mel_lens[i]]
+        assert (valid > 0).mean() > 0.6
+        assert np.abs(f0[i, mel_lens[i]:]).max() == 0
+    # energy finite and scaled
+    assert np.isfinite(np.asarray(batch["energy_avg"])).all()
+
+
+def test_dataloader_iterates(corpus):
+    dm = make_module(corpus)
+    dm.setup("fit")
+    loader = DataLoader(dm.trainset, batch_size=2, shuffle=True,
+                        featurizer=dm.featurizer, num_threads=2)
+    batches = list(iter(loader))
+    assert len(batches) == 2
+    seen = sorted(int(i) for b in batches for i in np.asarray(b["idx"]))
+    assert seen == [0, 1, 2, 3]
+
+
+def test_augmented_speaker_expansion(corpus):
+    dm = make_module(corpus, use_wave_augmentations=True,
+                     wave_aug_config=dict(aug_probability=1.0,
+                                          n_augmentations=2))
+    dm.setup("fit")
+    item = dm.trainset[0]
+    # base speaker count 2: augmented ids in {base + 2, base + 4}
+    assert item["speaker_id"] >= 2
+
+
+def test_text_only_data(corpus, tmp_path):
+    root, datasets, phonemizer_cfg = corpus
+    transcript = [
+        {"script": "hola mundo", "spk_id": "spk_a", "emotion": "neutral",
+         "language": "es_ES"},
+        {"script": "hello world", "spk_id": "spk_b", "emotion": "neutral",
+         "language": "en_US", "decoder_spk_id": "spk_a"},
+    ]
+    tpath = tmp_path / "prompts.json"
+    tpath.write_text(json.dumps(transcript))
+    dm = make_module(corpus)
+    dm.inference_transcript = str(tpath)
+    dm.setup("predict")
+    items = list(dm.predict_items())
+    assert len(items) == 2
+    assert items[0]["spk_id"] == 0 and items[0]["decoder_spk_id"] == 0
+    assert items[1]["spk_id"] == 1 and items[1]["decoder_spk_id"] == 0
+    assert items[1]["speaker_f0_mean"] == 5.0
+
+
+def test_bucket_batcher_groups_by_length():
+    lengths = [1.0, 5.0, 1.1, 5.1, 1.2, 5.2]
+    bb = BucketBatcher(lengths, batch_size=3, shuffle=False)
+    batches = list(iter(bb))
+    assert sorted(batches[0]) == [0, 2, 4]
+    assert sorted(batches[1]) == [1, 3, 5]
