@@ -1,0 +1,4 @@
+from radmmm_tpu.training.cli import main
+
+if __name__ == "__main__":
+    main()

@@ -129,19 +129,22 @@ def whitening_stats(data: jax.Array, mask: jax.Array,
     m = mask.astype(data.dtype)
     n = m.sum()
     s1 = jnp.einsum("btc,bt->c", data, m)
-    dm = data * m[..., None]
-    s2 = jnp.einsum("btc,btd->cd", dm, data, **_MM)
     if axis_name is not None:
         n = jax.lax.psum(n, axis_name)
         s1 = jax.lax.psum(s1, axis_name)
-        s2 = jax.lax.psum(s2, axis_name)
     mean = s1 / n
-    covar = s2 / n - jnp.outer(mean, mean)
+    # two-pass centered second moment: the E[x²]-E[x]² form cancels
+    # catastrophically in f32 for mel features sitting at the log floor
+    centered = (data - mean) * m[..., None]
+    s2 = jnp.einsum("btc,btd->cd", centered, centered, **_MM)
+    if axis_name is not None:
+        s2 = jax.lax.psum(s2, axis_name)
+    covar = s2 / n
     return mean, covar
 
 
 def whitening_params_from_stats(mean: jax.Array, covar: jax.Array,
-                                ridge: float = 1e-6):
+                                ridge: float = 1e-5):
     """upper-Cholesky of covar^-1: W s.t. cov(W(x-mean)) = I.
 
     A small trace-scaled ridge keeps the inverse finite when the init batch

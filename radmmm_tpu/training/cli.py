@@ -1,0 +1,85 @@
+"""CLI: `python -m radmmm_tpu fit|predict -c cfg.yaml [-c more.yaml ...]
+[--dotted.overrides=value ...]`.
+
+Equivalent of tts_main.py:36-68 (RADTTSLightningCLI): multi-config
+composition with later files overriding earlier ones, reference-format
+`model:`/`data:`/`trainer:` sections (class_path/init_args), and dotted CLI
+overrides. The data->model argument links (tts_main.py:48-61) are applied
+after translation: sampling rate, symbol set, text-frontend flags flow from
+the data section into the model/trainer configs, and n_text_tokens is
+derived from the constructed symbol table.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List
+
+from radmmm_tpu.data.module import AudioDataModule
+from radmmm_tpu.models.tts import TTSConfig
+from radmmm_tpu.training.loop import Trainer, TrainerConfig
+from radmmm_tpu.training.step import LossConfig
+from radmmm_tpu.utils.config import (load_configs, apply_overrides,
+                                     translate_reference_model_config,
+                                     translate_reference_data_config)
+
+
+def build_all(cfg: dict):
+    translated = translate_reference_model_config(cfg)
+    data_kwargs = translate_reference_data_config(cfg)
+
+    dm = AudioDataModule(**data_kwargs)
+
+    tts_kwargs = translated["tts"]
+    # data -> model links (tts_main.py:48-61)
+    tts_kwargs["n_text_tokens"] = dm.n_text_tokens
+    tts_cfg = TTSConfig(**tts_kwargs)
+
+    loss_cfg = LossConfig(**translated["loss"])
+
+    trainer_section = cfg.get("trainer", {})
+    run = translated["run"]
+    trainer_cfg = TrainerConfig(
+        output_directory=run["output_directory"],
+        max_steps=trainer_section.get("max_steps", 1_000_000),
+        max_epochs=trainer_section.get("max_epochs", 10_000),
+        val_interval=trainer_section.get("val_check_interval", 500),
+        iters_per_checkpoint=run["iters_per_checkpoint"],
+        seed=run["seed"],
+        learning_rate=translated["optim"]["learning_rate"],
+        weight_decay=translated["optim"]["weight_decay"],
+        optim_algo=translated["optim"]["optim_algo"],
+        grad_clip_val=translated["optim"]["grad_clip_val"],
+        use_syncbnorm=run["use_syncbnorm"],
+        decoder_path=run["decoder_path"],
+        encoders_path=run["encoders_path"],
+        vocoder_config_path=run["vocoder_config_path"],
+        vocoder_checkpoint_path=run["vocoder_checkpoint_path"],
+        sampling_rate=data_kwargs["featurizer_kwargs"]["sampling_rate"],
+        prediction_output_dir=run["prediction_output_dir"],
+        predict_mode=run["predict_mode"],
+    )
+    return dm, Trainer(tts_cfg, loss_cfg, trainer_cfg)
+
+
+def main(argv: List[str] = None):
+    argv = argv if argv is not None else sys.argv[1:]
+    parser = argparse.ArgumentParser(prog="radmmm_tpu")
+    parser.add_argument("subcommand", choices=["fit", "predict"])
+    parser.add_argument("-c", "--config", action="append", default=[],
+                        help="YAML config (repeatable; later overrides)")
+    parser.add_argument("--ckpt_path", default=None)
+    args, unknown = parser.parse_known_args(argv)
+
+    cfg = load_configs(args.config)
+    cfg = apply_overrides(cfg, [u for u in unknown if "=" in u])
+
+    dm, trainer = build_all(cfg)
+    if args.subcommand == "fit":
+        trainer.fit(dm)
+    else:
+        trainer.predict(dm)
+
+
+if __name__ == "__main__":
+    main()

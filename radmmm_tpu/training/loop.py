@@ -1,0 +1,332 @@
+"""Trainer: fit / validate / predict orchestration.
+
+Functional replacement for the PyTorch-Lightning Trainer + TTSModel
+LightningModule + sample-logging callbacks (tts_main.py, tts_lightning_
+modules.py, training_callbacks.py). Phase-dependent graphs (binarization /
+KL start iters) are separate compiled executables selected host-side; the
+whitening data-init runs as an explicit pass on the first batch; validation
+logs losses plus attention/mel images and (optionally vocoded) audio.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.io import wavfile
+
+from radmmm_tpu.models.tts import TTSModel, TTSConfig
+from radmmm_tpu.parallel import mesh as pmesh
+from radmmm_tpu.training.optim import build_optimizer
+from radmmm_tpu.training.step import (LossConfig, TrainState,
+                                      create_train_state, device_batch,
+                                      make_train_step, make_val_step,
+                                      make_whitening_init, phase_flags)
+from radmmm_tpu.utils.checkpoint import (CheckpointManager,
+                                         ENCODER_SUBMODULES, freeze_wrap,
+                                         load_pretrained_submodules)
+from radmmm_tpu.utils.logging import (TrainLogger, plot_alignment_to_numpy,
+                                      plot_mel_to_numpy,
+                                      plot_curves_to_numpy)
+from radmmm_tpu.vocoder.utils import (get_vocoder, GriffinLimVocoder,
+                                      get_audio_for_mels)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    output_directory: str = "./output"
+    max_steps: int = 1_000_000
+    max_epochs: int = 10_000
+    val_interval: int = 500
+    iters_per_checkpoint: int = 3000
+    log_interval: int = 10
+    seed: int = 42
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-6
+    optim_algo: str = "RAdam"
+    grad_clip_val: Optional[float] = 1.0
+    use_syncbnorm: bool = False
+    n_data: Optional[int] = None          # mesh axes; None = all devices DP
+    n_model: int = 1
+    decoder_path: Optional[str] = None
+    encoders_path: Optional[str] = None
+    vocoder_config_path: Optional[str] = None
+    vocoder_checkpoint_path: Optional[str] = None
+    sampling_rate: int = 22050
+    prediction_output_dir: Optional[str] = None
+    predict_mode: str = "tts"
+    sigma_infer: float = 0.8
+    max_infer_frames: int = 1024
+    log_decoder_samples: bool = True
+    max_to_keep: Optional[int] = None
+
+
+class Trainer:
+    def __init__(self, tts_config: TTSConfig, loss_config: LossConfig,
+                 trainer_config: TrainerConfig):
+        self.model = TTSModel(config=tts_config)
+        self.loss_cfg = loss_config
+        self.cfg = trainer_config
+        os.makedirs(self.cfg.output_directory, exist_ok=True)
+        self.logger = TrainLogger(
+            os.path.join(self.cfg.output_directory, "tb"))
+        self.ckpt = CheckpointManager(
+            os.path.join(self.cfg.output_directory, "ckpt"),
+            max_to_keep=self.cfg.max_to_keep)
+        self._step_cache: Dict[Any, Any] = {}
+        self.frozen_prefixes = []
+        if self.cfg.decoder_path:
+            self.frozen_prefixes.append("decoder")
+        if self.cfg.encoders_path:
+            self.frozen_prefixes += [m for m in ENCODER_SUBMODULES
+                                     if m != "accent_embeddings"
+                                     or tts_config.use_accent]
+
+    # ------------------------------------------------------------------
+    def _build_optimizer(self, params):
+        tx = build_optimizer(self.cfg.optim_algo, self.cfg.learning_rate,
+                             self.cfg.weight_decay, self.cfg.grad_clip_val)
+        return freeze_wrap(tx, params, self.frozen_prefixes)
+
+    def _init_state(self, sample_batch) -> TrainState:
+        rng = jax.random.key(self.cfg.seed)
+        base_tx = build_optimizer(self.cfg.optim_algo,
+                                  self.cfg.learning_rate,
+                                  self.cfg.weight_decay,
+                                  self.cfg.grad_clip_val)
+        state = create_train_state(self.model, base_tx,
+                                   device_batch(sample_batch), rng)
+        params = state.params
+        # pretrained submodule loading + freezing
+        if self.cfg.decoder_path:
+            params = load_pretrained_submodules(
+                params, self.cfg.decoder_path, ["decoder"])
+        if self.cfg.encoders_path:
+            params = load_pretrained_submodules(
+                params, self.cfg.encoders_path,
+                [m for m in ENCODER_SUBMODULES
+                 if m != "accent_embeddings"
+                 or self.model.config.use_accent])
+        self.tx = self._build_optimizer(params)
+        return dataclasses.replace(state, params=params,
+                                   opt_state=self.tx.init(params))
+
+    def _train_step_fn(self, binarize: bool, kl_on: bool):
+        key = (binarize, kl_on)
+        if key not in self._step_cache:
+            fn = make_train_step(self.model, self.loss_cfg, self.tx,
+                                 binarize=binarize, kl_on=kl_on,
+                                 sync_bn=self.cfg.use_syncbnorm)
+            self._step_cache[key] = jax.jit(fn, donate_argnums=0)
+        return self._step_cache[key]
+
+    # ------------------------------------------------------------------
+    def fit(self, dm, resume: bool = True):
+        dm.setup("fit")
+        train_loader = dm.train_dataloader()
+        first_batch = next(iter(train_loader))
+        state = self._init_state(first_batch)
+
+        start_step = 0
+        restored = None
+        if resume:
+            state, restored = self.ckpt.restore(state)
+            if restored is not None:
+                start_step = int(restored)
+                print(f"resumed from step {start_step}")
+
+        if restored is None:
+            whiten = jax.jit(make_whitening_init(self.model))
+            state = whiten(state, device_batch(first_batch))
+            print("initialized whitening conv from first batch")
+
+        val_step = jax.jit(make_val_step(self.model, self.loss_cfg))
+        rng = jax.random.key(self.cfg.seed + 1)
+        step = start_step
+        t_last = time.perf_counter()
+        for epoch in range(self.cfg.max_epochs):
+            for batch in train_loader:
+                binarize, kl_on = phase_flags(step, self.loss_cfg)
+                step_fn = self._train_step_fn(binarize, kl_on)
+                rng, sub = jax.random.split(rng)
+                state, metrics = step_fn(state, device_batch(batch), sub)
+                step += 1
+                if step % self.cfg.log_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    dt = time.perf_counter() - t_last
+                    m["steps_per_sec"] = self.cfg.log_interval / dt
+                    t_last = time.perf_counter()
+                    self.logger.scalars("train", m, step)
+                    print(f"step {step}: loss={m['loss']:.4f} "
+                          f"mel={m.get('loss_mel', 0):.4f} "
+                          f"({m['steps_per_sec']:.2f} it/s)")
+                if step % self.cfg.val_interval == 0 and dm.valset:
+                    self.validate(state, dm, val_step, step)
+                if step % self.cfg.iters_per_checkpoint == 0:
+                    self.ckpt.save(step, state,
+                                   exclude_prefixes=self.frozen_prefixes)
+                if step >= self.cfg.max_steps:
+                    self.ckpt.save(step, state,
+                                   exclude_prefixes=self.frozen_prefixes)
+                    return state
+        return state
+
+    # ------------------------------------------------------------------
+    def validate(self, state: TrainState, dm, val_step, step: int):
+        agg: Dict[str, list] = {}
+        loader = dm.val_dataloader()
+        first = None
+        for batch in loader:
+            metrics = val_step(state, device_batch(batch))
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(float(v))
+            if first is None:
+                first = batch
+        if agg:
+            self.logger.scalars(
+                "val", {k: float(np.mean(v)) for k, v in agg.items()}, step)
+        if first is not None and self.cfg.log_decoder_samples:
+            self._log_val_samples(state, first, step)
+        self.logger.flush()
+
+    def _log_val_samples(self, state: TrainState, batch, step: int):
+        """Attention images + reconstruction audio
+        (LogDecoderSamplesCallback, training_callbacks.py:36-210)."""
+        outputs = self.model.apply(state.model_variables(),
+                                   device_batch(batch),
+                                   binarize=True, train=False,
+                                   mutable=False)
+        attn = np.asarray(outputs["attn"])[0]
+        attn_soft = np.asarray(outputs["attn_soft"])[0]
+        in_len = int(batch["input_lengths"][0])
+        out_len = int(batch["output_lengths"][0])
+        self.logger.image("val/attention_hard",
+                          plot_alignment_to_numpy(
+                              attn[:out_len, :in_len]), step)
+        self.logger.image("val/attention_soft",
+                          plot_alignment_to_numpy(
+                              attn_soft[:out_len, :in_len]), step)
+        self.logger.image("val/mel_gt",
+                          plot_mel_to_numpy(
+                              np.asarray(batch["mel"])[0, :out_len]), step)
+        if "f0_outputs" in outputs:
+            self.logger.image("val/attributes", plot_curves_to_numpy({
+                "f0_gt": np.asarray(outputs["f0_outputs"]["x"])[0, :out_len, 0],
+                "f0_pred": np.asarray(
+                    outputs["f0_outputs"]["x_hat"])[0, :out_len, 0],
+            }), step)
+        # reconstruction (analysis-synthesis) sample
+        rec = self.model.apply(state.model_variables(), jax.random.key(0),
+                               device_batch(batch),
+                               method=TTSModel.reconstruct)
+        mel_rec = np.asarray(rec["mel"])[0, :out_len]
+        self.logger.image("val/mel_reconstructed",
+                          plot_mel_to_numpy(mel_rec), step)
+        audio = self._vocode(rec["mel"][:1])
+        if audio is not None:
+            self.logger.audio("val/reconstruction",
+                              np.asarray(audio)[0],
+                              step, self.cfg.sampling_rate)
+
+    # ------------------------------------------------------------------
+    def _vocode(self, mels):
+        voc_fn, denoiser = get_vocoder(
+            "hifigan", self.cfg.vocoder_config_path,
+            self.cfg.vocoder_checkpoint_path)
+        if voc_fn is not None:
+            return get_audio_for_mels(mels, "hifigan", voc_fn, denoiser)
+        gl = GriffinLimVocoder(sampling_rate=self.cfg.sampling_rate)
+        return gl(mels)
+
+    def predict(self, dm, state: Optional[TrainState] = None):
+        """TTS / reconstruction prediction -> wav files
+        (TTSModel.forward predict path, tts_lightning_modules.py:585-606)."""
+        dm.setup("predict")
+        out_dir = (self.cfg.prediction_output_dir
+                   or os.path.join(self.cfg.output_directory, "predictions"))
+        os.makedirs(out_dir, exist_ok=True)
+
+        if state is None:
+            items = list(dm.predict_items())
+            sample = self._predict_init_batch(items)
+            state = self._init_state(sample)
+            state, restored = self.ckpt.restore(state)
+            assert restored is not None, "predict requires a checkpoint"
+
+        items = list(dm.predict_items())
+        batch = self._predict_batch(items)
+        out = self.model.apply(
+            state.model_variables(), jax.random.key(self.cfg.seed),
+            batch["text"], batch["text_lens"], batch["spk_id"],
+            decoder_speaker_ids=batch["decoder_spk_id"],
+            f0_speaker_ids=batch["f0_spk_id"],
+            energy_speaker_ids=batch["energy_spk_id"],
+            duration_speaker_ids=batch["duration_spk_id"],
+            accent_ids=batch["accent_id"],
+            f0_mean=batch["speaker_f0_mean"],
+            f0_std=batch["speaker_f0_std"],
+            sigma=self.cfg.sigma_infer,
+            max_frames=self.cfg.max_infer_frames,
+            method=TTSModel.infer)
+        audio = self._vocode(out["mel"])
+        lens = np.asarray(out["lens"].lengths)
+        hop = 256
+        paths = []
+        for i, item in enumerate(items):
+            wav = np.asarray(audio)[i][: lens[i] * hop]
+            path = os.path.join(
+                out_dir, f"output_sample_{item['idx']}_"
+                f"{self.cfg.predict_mode}.wav")
+            wavfile.write(path, self.cfg.sampling_rate,
+                          (np.clip(wav, -1, 1) * 32767).astype(np.int16))
+            paths.append(path)
+        print(f"predictions saved to {out_dir}")
+        return paths
+
+    def _predict_batch(self, items):
+        B = len(items)
+        T = max(len(x["text_encoded"]) for x in items)
+        text = np.zeros((B, T), np.int32)
+        for i, x in enumerate(items):
+            text[i, :len(x["text_encoded"])] = x["text_encoded"]
+        def arr(key, dtype=np.int32):
+            return jnp.asarray(np.array([x[key] for x in items], dtype))
+        return {
+            "text": jnp.asarray(text),
+            "text_lens": jnp.asarray(
+                np.array([len(x["text_encoded"]) for x in items], np.int32)),
+            "spk_id": arr("spk_id"),
+            "decoder_spk_id": arr("decoder_spk_id"),
+            "duration_spk_id": arr("duration_spk_id"),
+            "f0_spk_id": arr("f0_spk_id"),
+            "energy_spk_id": arr("energy_spk_id"),
+            "accent_id": arr("accent_id"),
+            "speaker_f0_mean": arr("speaker_f0_mean", np.float32),
+            "speaker_f0_std": arr("speaker_f0_std", np.float32),
+        }
+
+    def _predict_init_batch(self, items):
+        """Tiny synthetic batch for param init during predict."""
+        batch = self._predict_batch(items[:1])
+        B, T_mel = 1, 64
+        n_mel = self.model.config.n_mel_channels
+        return {
+            "text": batch["text"][:1],
+            "input_lengths": batch["text_lens"][:1],
+            "mel": jnp.zeros((B, T_mel, n_mel)),
+            "output_lengths": jnp.asarray([T_mel], jnp.int32),
+            "speaker_ids": batch["spk_id"][:1],
+            "accent_ids": batch["accent_id"][:1],
+            "f0": jnp.zeros((B, T_mel)),
+            "voiced_mask": jnp.zeros((B, T_mel)),
+            "energy_avg": jnp.zeros((B, T_mel)),
+            "attn_prior": jnp.full(
+                (B, T_mel, batch["text"].shape[1]),
+                1.0 / batch["text"].shape[1]),
+            "speaker_f0_mean": batch["speaker_f0_mean"][:1],
+            "speaker_f0_std": batch["speaker_f0_std"][:1],
+        }

@@ -234,6 +234,13 @@ def make_whitening_init(model: TTSModel,
     return init_pass
 
 
+def device_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop host-only metadata (paths, raw text, language strings) so the
+    batch is a pure array pytree for jit."""
+    return {k: v for k, v in batch.items()
+            if not isinstance(v, (str, list, tuple))}
+
+
 def phase_flags(step: int, cfg: LossConfig):
     """Host-side phase resolution -> (binarize, kl_on) static flags."""
     return (step >= cfg.binarization_start_iter,

@@ -1,0 +1,106 @@
+"""Vocoder loading/dispatch + mel->audio helpers.
+
+Equivalent of vocoders/vocoder_utils.py:35-143 (get_vocoder /
+get_audio_for_mels) with two fixes over the reference:
+* vocoding is batched and jitted on device (the reference vocodes on CPU and
+  accidentally re-vocodes item 0 for every item, vocoder_utils.py:43 +
+  tts_lightning_modules.py:568-579 — SURVEY.md §2.9);
+* a griffin-lim fallback synthesizes audio when no vocoder checkpoint is
+  configured (uses the pseudo-inverse mel basis).
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radmmm_tpu.ops.stft import (MelSpectrogram, mel_filterbank,
+                                 dynamic_range_decompression, griffin_lim)
+from radmmm_tpu.vocoder.hifigan import (HiFiGANConfig, Generator, Denoiser,
+                                        load_torch_generator_params)
+
+
+def load_hifigan_config(config_path: str) -> HiFiGANConfig:
+    with open(config_path) as f:
+        h = json.load(f)
+    return HiFiGANConfig(
+        resblock=str(h.get("resblock", "1")),
+        upsample_rates=tuple(h["upsample_rates"]),
+        upsample_kernel_sizes=tuple(h["upsample_kernel_sizes"]),
+        upsample_initial_channel=h["upsample_initial_channel"],
+        resblock_kernel_sizes=tuple(h["resblock_kernel_sizes"]),
+        resblock_dilation_sizes=tuple(
+            tuple(d) for d in h["resblock_dilation_sizes"]),
+        n_mel_channels=h.get("num_mels", 80),
+        sampling_rate=h.get("sampling_rate", 22050),
+    )
+
+
+def get_vocoder(vocoder_type: str = "hifigan",
+                vocoder_config_path: Optional[str] = None,
+                vocoder_checkpoint_path: Optional[str] = None,
+                vocoder_map=None, with_denoiser: bool = True):
+    """-> (generator_fn(mel (B,T,80)) -> (B, T*hop), denoiser or None).
+
+    Loads upstream torch `g_*` checkpoints through the state-dict converter.
+    Returns (None, None) when unconfigured (caller falls back to
+    griffin-lim).
+    """
+    if vocoder_type != "hifigan":
+        raise ValueError(f"unsupported vocoder type {vocoder_type}")
+    if not vocoder_checkpoint_path or not os.path.exists(
+            str(vocoder_checkpoint_path)):
+        return None, None
+    cfg = (load_hifigan_config(vocoder_config_path)
+           if vocoder_config_path and os.path.exists(vocoder_config_path)
+           else HiFiGANConfig())
+    import torch
+    ckpt = torch.load(vocoder_checkpoint_path, map_location="cpu")
+    state_dict = ckpt.get("generator", ckpt)
+    variables = load_torch_generator_params(state_dict, cfg)
+    gen = Generator(config=cfg)
+    apply = jax.jit(gen.apply)
+
+    def generator_fn(mel):
+        return apply(variables, mel)
+
+    denoiser = (Denoiser(gen.apply, variables,
+                         n_mel_channels=cfg.n_mel_channels)
+                if with_denoiser else None)
+    return generator_fn, denoiser
+
+
+class GriffinLimVocoder:
+    """mel (B, T, n_mels) log-mel -> waveform via pinv(mel basis) + GL."""
+
+    def __init__(self, filter_length=1024, hop_length=256, win_length=1024,
+                 n_mel_channels=80, sampling_rate=22050, mel_fmin=0.0,
+                 mel_fmax=8000.0, n_iters=30):
+        self.stft = MelSpectrogram(filter_length, hop_length, win_length,
+                                   n_mel_channels, sampling_rate, mel_fmin,
+                                   mel_fmax)
+        basis = mel_filterbank(sampling_rate, filter_length, n_mel_channels,
+                               mel_fmin, mel_fmax)
+        self.inv_basis = jnp.asarray(np.linalg.pinv(basis))
+        self.n_iters = n_iters
+
+    def __call__(self, mel: jax.Array, rng=None) -> jax.Array:
+        rng = rng if rng is not None else jax.random.key(0)
+        mag = dynamic_range_decompression(mel) @ self.inv_basis.T
+        mag = jnp.maximum(mag, 0.0)
+        return griffin_lim(mag, self.stft, rng, self.n_iters)
+
+
+def get_audio_for_mels(mels: jax.Array, vocoder_type: str, vocoder_fn,
+                       denoiser: Optional[Denoiser] = None,
+                       denoiser_strength: float = 0.005) -> jax.Array:
+    """Batched mel -> denoised audio (vocoder_utils.py:64-132)."""
+    audio = vocoder_fn(mels)
+    if denoiser is not None:
+        audio = denoiser(audio, strength=denoiser_strength)
+    return audio

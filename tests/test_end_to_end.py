@@ -1,0 +1,152 @@
+"""End-to-end slice: CLI config -> fit a few steps -> checkpoint -> predict.
+
+The 'minimum end-to-end slice' of SURVEY.md §7.2(6): data pipeline, text
+frontend, encoder, attention+MAS, flow fwd/inv, losses, checkpointing,
+prediction with griffin-lim vocoding — driven through the public CLI
+builders on a tiny synthetic corpus.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from radmmm_tpu.training.cli import build_all
+from radmmm_tpu.utils.config import (load_configs, apply_overrides,
+                                     translate_reference_model_config)
+from tests.test_data import corpus  # fixture reuse
+from tests.test_pitch import tone
+
+
+@pytest.fixture(scope="module")
+def cfg_files(corpus, tmp_path_factory):
+    root, datasets, phonemizer_cfg = corpus
+    outdir = tmp_path_factory.mktemp("run")
+    model_cfg = {
+        "model": {
+            "use_accent": True, "n_augmentations": 0, "n_speakers": 2,
+            "n_accents": 2, "n_accent_dim": 2, "n_speaker_dim": 4,
+            "n_text_dim": 16,
+            "use_accent_emb_for_encoder": True,
+            "use_speaker_emb_for_alignment": True,
+            "n_mel_channels": 80,
+            "decoder": {
+                "class_path": "decoders.RADMMMFlow",
+                "init_args": {
+                    "use_accent": True, "n_accent_dim": 2,
+                    "n_speaker_dim": 4, "n_text_dim": 18,
+                    "use_context_lstm": True, "n_f0_dims": 1,
+                    "n_energy_avg_dims": 1, "n_mel_channels": 80,
+                    "n_flows": 2, "n_conv_layers_per_step": 1,
+                    "n_early_size": 2, "n_early_every": 2,
+                    "n_group_size": 2, "affine_model": "wavenet",
+                    "scaling_fn": "tanh", "use_partial_padding": True,
+                },
+            },
+            "decoder_loss": {
+                "class_path": "loss.RADMMMLoss",
+                "init_args": {"sigma": 1.0, "n_group_size": 2,
+                              "kl_loss_start_iter": 4,
+                              "binarization_loss_weight": 1.0,
+                              "ctc_loss_weight": 0.1},
+            },
+            "f0_predictor": {
+                "class_path": "attribute_predictors.ConvLSTMLinearDAP",
+                "init_args": {"n_speaker_dim": 4, "n_accent_dim": 2,
+                              "use_accent_embedding": True, "in_dim": 18,
+                              "out_dim": 1, "reduction_factor": 2,
+                              "n_backbone_layers": 1, "n_hidden": 8,
+                              "kernel_size": 3, "target_offset": -5},
+            },
+            "duration_predictor": {
+                "class_path": "attribute_predictors.ConvLSTMLinearDAP",
+                "init_args": {"n_speaker_dim": 4, "n_accent_dim": 2,
+                              "use_accent_embedding": True, "in_dim": 18,
+                              "out_dim": 1, "reduction_factor": 2,
+                              "n_backbone_layers": 1, "n_hidden": 8,
+                              "kernel_size": 3, "log_target": True},
+            },
+            "energy_predictor": {
+                "class_path": "attribute_predictors.ConvLSTMLinearDAP",
+                "init_args": {"n_speaker_dim": 4, "n_accent_dim": 2,
+                              "use_accent_embedding": True, "in_dim": 18,
+                              "out_dim": 1, "reduction_factor": 2,
+                              "n_backbone_layers": 1, "n_hidden": 8,
+                              "kernel_size": 3, "target_offset": -0.75},
+            },
+            "voiced_predictor": {
+                "class_path": "attribute_predictors.ConvLSTMLinearDAP",
+                "init_args": {"n_speaker_dim": 4, "n_accent_dim": 2,
+                              "use_accent_embedding": True, "in_dim": 18,
+                              "out_dim": 1, "reduction_factor": 2,
+                              "n_backbone_layers": 1, "n_hidden": 8,
+                              "kernel_size": 3},
+            },
+            "optim_algo": "RAdam", "learning_rate": 1.0e-3,
+            "binarization_start_iter": 3,
+            "output_directory": str(outdir),
+            "iters_per_checkpoint": 5,
+        },
+        "trainer": {"max_steps": 6, "val_check_interval": 1000,
+                    "gradient_clip_val": 1.0},
+    }
+    data_cfg = {
+        "data": {
+            "init_args": {
+                "batchsize": 4,
+                "trainset_config": {"datasets": datasets},
+                "sampling_rate": 22050, "filter_length": 1024,
+                "hop_length": 256, "win_length": 1024,
+                "n_mel_channels": 80, "mel_fmax": 8000.0,
+                "f0_min": 80.0, "f0_max": 640.0,
+                "use_log_f0": 1, "use_scaled_energy": 1,
+                "symbol_set": "radmmm_phonemizer_marker_segregated",
+                "cleaners": ["basic_cleaners"],
+                "g2p_type": "phonemizer",
+                "phonemizer_cfg": phonemizer_cfg,
+                "dur_min": 0.1, "dur_max": 10.2,
+                "speaker_stats_path": str(root / "stats.json"),
+            },
+        },
+    }
+    mpath = outdir / "model.yaml"
+    dpath = outdir / "data.yaml"
+    mpath.write_text(yaml.safe_dump(model_cfg))
+    dpath.write_text(yaml.safe_dump(data_cfg))
+    return str(mpath), str(dpath), outdir, root
+
+
+def test_config_translation(cfg_files):
+    mpath, dpath, outdir, root = cfg_files
+    cfg = load_configs([mpath, dpath])
+    cfg = apply_overrides(cfg, ["--model.learning_rate=5e-3"])
+    tr = translate_reference_model_config(cfg)
+    assert tr["optim"]["learning_rate"] == 5e-3
+    assert tr["tts"]["decoder"]["n_flows"] == 2
+    assert tr["loss"]["kl_loss_start_iter"] == 4
+    assert tr["loss"]["binarization_start_iter"] == 3
+
+
+def test_fit_and_predict_end_to_end(cfg_files, tmp_path):
+    mpath, dpath, outdir, root = cfg_files
+    cfg = load_configs([mpath, dpath])
+    dm, trainer = build_all(cfg)
+    state = trainer.fit(dm)
+    assert state is not None
+    assert int(state.step) >= 6
+    # checkpoint written
+    assert trainer.ckpt.latest_step() is not None
+
+    # predict from the trained state through the full sampling path
+    transcript = [{"script": "hola mundo", "spk_id": "spk_a",
+                   "emotion": "neutral", "language": "es_ES"}]
+    tpath = tmp_path / "prompts.json"
+    tpath.write_text(json.dumps(transcript))
+    dm.inference_transcript = str(tpath)
+    trainer.cfg.max_infer_frames = 128
+    paths = trainer.predict(dm, state=state)
+    assert len(paths) == 1 and os.path.exists(paths[0])
+    from scipy.io import wavfile
+    sr, wav = wavfile.read(paths[0])
+    assert sr == 22050 and wav.size > 1000
