@@ -197,11 +197,16 @@ def translate_reference_data_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
                                              True)),
         betabinom_scaling_factor=init.get("betabinom_scaling_factor", 0.05),
     )
+    def datasets_of(*keys):
+        for k in keys:
+            if k in init and init[k]:
+                v = init[k]
+                return v.get("datasets", v) if isinstance(v, dict) else v
+        return None
+
     return dict(
-        train_config=init.get("trainset_config", {}).get("datasets",
-                              init.get("trainset_config", {})),
-        val_config=init.get("valset_config", {}).get("datasets",
-                            init.get("valset_config")),
+        train_config=datasets_of("training_files", "trainset_config") or {},
+        val_config=datasets_of("validation_files", "valset_config"),
         batch_size=init.get("batchsize", init.get("batch_size", 8)),
         symbol_set=init.get("symbol_set",
                             "radmmm_phonemizer_marker_segregated"),
