@@ -106,6 +106,7 @@ class AudioDataset:
                  speaker_stats_path: Optional[str] = None,
                  f0_pred_type: str = "norm_log_f0",
                  speaker_map=None, accent_map=None,
+                 audio_cache_path: Optional[str] = None,
                  seed: int = 1234):
         self.tp = tp
         self.dataloader_type = dataloader_type
@@ -136,6 +137,13 @@ class AudioDataset:
             self.data = [x for x in self.data
                          if dur_min <= x.duration <= dur_max]
 
+        # optional mmap'd audio cache (native C++ replacement for the
+        # reference's LMDB audio store, data.py:264-269)
+        self.audio_cache = None
+        if audio_cache_path:
+            from radmmm_tpu.native import FeatureCache
+            self.audio_cache = FeatureCache(audio_cache_path)
+
         self.n_base_speakers = len(self.speaker_ids)
         self.augmentations = None
         if use_wave_augmentations:
@@ -160,7 +168,13 @@ class AudioDataset:
     def __getitem__(self, index: int) -> Optional[Dict[str, Any]]:
         item = self.data[index]
         try:
-            audio, sr = load_wav(item.audiopath)
+            if self.audio_cache is not None:
+                cached = self.audio_cache.get_array(item.audiopath)
+                if cached is None:
+                    raise KeyError(f"{item.audiopath} not in audio cache")
+                audio, sr = cached.astype(np.float32), self.sampling_rate
+            else:
+                audio, sr = load_wav(item.audiopath)
         except Exception as e:  # broken audio -> dropped by collate
             print(f"wav loading failed for {item.audiopath}: {e}")
             return None
