@@ -20,6 +20,11 @@ def main():
     import jax
     import jax.numpy as jnp
     from radmmm_tpu.models.tts import TTSModel, default_radmmm_config
+    from radmmm_tpu.ops.conv import set_conv_precision
+
+    # production inference setting: native bf16 MXU throughput with f32
+    # accumulation (training default stays full f32 like the reference)
+    set_conv_precision("bf16")
 
     B = 32
     T_TEXT = 96

@@ -22,6 +22,28 @@ import numpy as np
 from flax import linen as nn
 
 
+# Global conv compute precision. HIGHEST = full f32 (6-pass on the MXU),
+# the reference's fp32 training regime. 'bf16' (Precision.DEFAULT) runs the
+# MXU at native bf16 throughput — the production inference setting
+# (set via set_conv_precision or env RADMMM_CONV_PRECISION=bf16).
+import os as _os
+
+_PRECISION = (jax.lax.Precision.DEFAULT
+              if _os.environ.get("RADMMM_CONV_PRECISION") == "bf16"
+              else jax.lax.Precision.HIGHEST)
+
+
+def set_conv_precision(precision: str) -> None:
+    """'bf16' | 'f32' — applies to subsequently traced convolutions."""
+    global _PRECISION
+    _PRECISION = (jax.lax.Precision.DEFAULT if precision == "bf16"
+                  else jax.lax.Precision.HIGHEST)
+
+
+def get_conv_precision():
+    return _PRECISION
+
+
 def xavier_uniform_gain(gain: float):
     """torch.nn.init.xavier_uniform_ with explicit gain, for (K, Cin, Cout)."""
     def init(key, shape, dtype=jnp.float32):
@@ -48,7 +70,7 @@ def conv1d_same(x: jax.Array, kernel: jax.Array, dilation: int = 1,
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PRECISION,
         preferred_element_type=jnp.float32,
     )
 

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from radmmm_tpu.ops.conv import get_conv_precision
+
 
 def _uniform_lstm_init(hidden: int):
     bound = 1.0 / np.sqrt(hidden)
@@ -42,8 +44,9 @@ def lstm_scan(x: jax.Array, mask: jax.Array, wi: jax.Array, wh: jax.Array,
     """
     B = x.shape[0]
     H = wh.shape[0]
+    prec = get_conv_precision()
     # hoist the input projection out of the scan: one big MXU matmul
-    x_proj = x @ wi + bias  # (B, T, 4H)
+    x_proj = jnp.einsum("btc,ch->bth", x, wi, precision=prec) + bias
     if reverse:
         x_proj = jnp.flip(x_proj, axis=1)
         mask = jnp.flip(mask, axis=1)
@@ -51,7 +54,7 @@ def lstm_scan(x: jax.Array, mask: jax.Array, wi: jax.Array, wh: jax.Array,
     def step(carry, inp):
         h, c = carry
         xp, m = inp  # (B, 4H), (B,)
-        gates = xp + h @ wh
+        gates = xp + jnp.einsum("bh,hg->bg", h, wh, precision=prec)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)
@@ -67,7 +70,7 @@ def lstm_scan(x: jax.Array, mask: jax.Array, wi: jax.Array, wh: jax.Array,
     h0 = jnp.zeros((B, H), x.dtype)
     c0 = jnp.zeros((B, H), x.dtype)
     xs = (jnp.swapaxes(x_proj, 0, 1), jnp.swapaxes(mask, 0, 1))
-    _, ys = jax.lax.scan(step, (h0, c0), xs)
+    _, ys = jax.lax.scan(step, (h0, c0), xs, unroll=8)
     ys = jnp.swapaxes(ys, 0, 1)  # (B, T, H)
     if reverse:
         ys = jnp.flip(ys, axis=1)
