@@ -63,6 +63,12 @@ class TrainerConfig:
     max_infer_frames: int = 1024
     log_decoder_samples: bool = True
     max_to_keep: Optional[int] = None
+    # aux subsystems (SURVEY.md §5): profiling, anomaly detection, snapshot
+    profile_dir: Optional[str] = None     # jax.profiler trace output
+    profile_start_step: int = 10
+    profile_n_steps: int = 5
+    detect_anomaly: bool = False          # raise on non-finite loss
+    save_code_snapshot: bool = True       # tar *.py on fit start
 
 
 class Trainer:
@@ -125,8 +131,27 @@ class Trainer:
         return self._step_cache[key]
 
     # ------------------------------------------------------------------
+    def save_current_code(self):
+        """Tar the framework sources into the run dir (utils.py:44-51)."""
+        import tarfile
+        root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        out = os.path.join(self.cfg.output_directory, "code_snapshot.tar.gz")
+        with tarfile.open(out, "w:gz") as tar:
+            for dirpath, dirnames, filenames in os.walk(root):
+                dirnames[:] = [d for d in dirnames
+                               if d not in (".git", "output", "build",
+                                            "__pycache__")]
+                for fn in filenames:
+                    if fn.endswith((".py", ".cc", ".yaml")):
+                        full = os.path.join(dirpath, fn)
+                        tar.add(full, arcname=os.path.relpath(full, root))
+        print(f"saved code snapshot to {out}")
+
     def fit(self, dm, resume: bool = True):
         dm.setup("fit")
+        if self.cfg.save_code_snapshot:
+            self.save_current_code()
         train_loader = dm.train_dataloader()
         first_batch = next(iter(train_loader))
         state = self._init_state(first_batch)
@@ -153,8 +178,23 @@ class Trainer:
                 binarize, kl_on = phase_flags(step, self.loss_cfg)
                 step_fn = self._train_step_fn(binarize, kl_on)
                 rng, sub = jax.random.split(rng)
+                if (self.cfg.profile_dir
+                        and step == self.cfg.profile_start_step):
+                    jax.profiler.start_trace(self.cfg.profile_dir)
                 state, metrics = step_fn(state, device_batch(batch), sub)
                 step += 1
+                if (self.cfg.profile_dir
+                        and step == self.cfg.profile_start_step
+                        + self.cfg.profile_n_steps):
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace in {self.cfg.profile_dir}")
+                if self.cfg.detect_anomaly:
+                    loss_val = float(metrics["loss"])
+                    if not np.isfinite(loss_val):
+                        bad = {k: float(v) for k, v in metrics.items()}
+                        raise FloatingPointError(
+                            f"non-finite loss at step {step}: {bad}")
                 if step % self.cfg.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     dt = time.perf_counter() - t_last
