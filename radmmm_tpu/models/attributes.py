@@ -114,6 +114,66 @@ class ConvLSTMLinear(nn.Module):
         return x
 
 
+class LSTMConv(nn.Module):
+    """BiLSTM first, then a conv stack (LSTMConv, common.py:340-395).
+
+    Last conv has no activation; optional masked batch norm per conv.
+    """
+    out_dim: int
+    n_layers: int = 3
+    n_channels: int = 512
+    kernel_size: int = 3
+    p_dropout: float = 0.1
+    use_bn: bool = False
+    lstm_norm_fn: Optional[str] = "spectral"
+
+    @nn.compact
+    def __call__(self, x, lens: SeqLens, train: bool = True):
+        from radmmm_tpu.ops.norms import MaskedBatchNorm
+        assert self.n_channels % 2 == 0
+        x = MaskedLSTM(self.n_channels // 2, bidirectional=True,
+                       spectral_norm=(self.lstm_norm_fn is not None
+                                      and "spectral" in self.lstm_norm_fn),
+                       name="lstm")(x, lens.mask, update_sn=train)
+        for i in range(self.n_layers):
+            out_ch = (self.out_dim if i == self.n_layers - 1
+                      else self.n_channels)
+            x = MaskedConv1d(out_ch, self.kernel_size, w_init_gain="relu",
+                             use_weight_norm=True,
+                             name=f"conv_{i}")(x, lens.mask)
+            if self.use_bn:
+                x = MaskedBatchNorm(out_ch, name=f"bn_{i}")(
+                    x, lens.mask, train=train)
+            if i < self.n_layers - 1:
+                x = jax.nn.relu(x)
+                x = nn.Dropout(self.p_dropout,
+                               deterministic=not train)(x)
+        return x
+
+
+class ResidualLSTMConv(nn.Module):
+    """LSTMConv with a 0.5-scaled residual (common.py:398-420)."""
+    out_dim: int
+    n_layers: int = 3
+    n_hidden_channels: int = 512
+    kernel_size: int = 3
+    use_residual: bool = True
+    use_bn: bool = False
+    lstm_norm_fn: Optional[str] = "spectral"
+
+    @nn.compact
+    def __call__(self, x, lens: SeqLens, train: bool = True):
+        x_enc = LSTMConv(self.out_dim, self.n_layers,
+                         self.n_hidden_channels, self.kernel_size,
+                         use_bn=self.use_bn,
+                         lstm_norm_fn=self.lstm_norm_fn,
+                         name="lstm_conv")(x, lens, train=train)
+        if self.use_residual:
+            assert x.shape[-1] == self.out_dim
+            x_enc = (x_enc + x) * 0.5
+        return x_enc
+
+
 class ConvLSTMLinearDAP(nn.Module):
     """Deterministic attribute predictor (attribute_predictors.py:142-197).
 
@@ -174,3 +234,46 @@ class ConvLSTMLinearDAP(nn.Module):
                    train=False)
         return inv_tx_target(out["x_hat"], x_mean=x_mean, x_std=x_std,
                              **self._tx_kwargs())
+
+
+class LSTMConvDAP(nn.Module):
+    """Attribute predictor with an LSTM-first backbone
+    (attribute_predictors.py:200-227)."""
+    n_speaker_dim: int = 16
+    in_dim: int = 512
+    out_dim: int = 1
+    reduction_factor: int = 16
+    n_backbone_layers: int = 2
+    n_hidden: int = 256
+    kernel_size: int = 3
+    p_dropout: float = 0.25
+    target_scale: float = 1.0
+    target_offset: float = 0.0
+    log_target: bool = False
+    lstm_norm_fn: str = "spectral"
+
+    def _tx_kwargs(self):
+        return dict(target_scale=self.target_scale,
+                    target_offset=self.target_offset,
+                    log_target=self.log_target)
+
+    @nn.compact
+    def __call__(self, x_target, text_enc, spk_emb, lens: SeqLens,
+                 train=True):
+        if x_target is not None:
+            x_target = tx_target(x_target, **self._tx_kwargs())
+        h = BottleneckLayer(self.in_dim, self.reduction_factor,
+                            name="bottleneck")(text_enc, lens.mask)
+        T = text_enc.shape[1]
+        spk = jnp.broadcast_to(spk_emb[:, None, :],
+                               (h.shape[0], T, spk_emb.shape[-1]))
+        h = jnp.concatenate([h, spk], axis=-1)
+        x_hat = LSTMConv(self.out_dim, self.n_backbone_layers,
+                         self.n_hidden, self.kernel_size, self.p_dropout,
+                         lstm_norm_fn=self.lstm_norm_fn,
+                         name="backbone")(h, lens, train=train)
+        return {"x_hat": x_hat, "x": x_target}
+
+    def infer(self, text_enc, spk_emb, lens: SeqLens):
+        out = self(None, text_enc, spk_emb, lens, train=False)
+        return inv_tx_target(out["x_hat"], **self._tx_kwargs())
