@@ -69,7 +69,14 @@ def main(argv: List[str] = None):
     parser.add_argument("-c", "--config", action="append", default=[],
                         help="YAML config (repeatable; later overrides)")
     parser.add_argument("--ckpt_path", default=None)
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize() from "
+                             "cluster env (the NCCL/DDP-launch equivalent)")
     args, unknown = parser.parse_known_args(argv)
+
+    if args.distributed:
+        import jax
+        jax.distributed.initialize()
 
     cfg = load_configs(args.config)
     cfg = apply_overrides(cfg, [u for u in unknown if "=" in u])

@@ -62,6 +62,9 @@ class TrainerConfig:
     sigma_infer: float = 0.8
     max_infer_frames: int = 1024
     log_decoder_samples: bool = True
+    # fixed prompts synthesized + logged at every validation (the
+    # LogAttributeSamplesCallback idiom, training_callbacks.py:90-210)
+    val_prompts_path: Optional[str] = None
     max_to_keep: Optional[int] = None
     # aux subsystems (SURVEY.md §5): profiling, anomaly detection, snapshot
     profile_dir: Optional[str] = None     # jax.profiler trace output
@@ -231,7 +234,37 @@ class Trainer:
                 "val", {k: float(np.mean(v)) for k, v in agg.items()}, step)
         if first is not None and self.cfg.log_decoder_samples:
             self._log_val_samples(state, first, step)
+        if self.cfg.val_prompts_path:
+            self._log_tts_samples(state, dm, step)
         self.logger.flush()
+
+    def _log_tts_samples(self, state: TrainState, dm, step: int,
+                         max_prompts: int = 4):
+        """Synthesize fixed prompts end-to-end and log the audio."""
+        from radmmm_tpu.data.dataset import TextOnlyData
+        tod = TextOnlyData(self.cfg.val_prompts_path, dm.tp,
+                           dm.trainset.speaker_ids, dm.trainset.accent_ids)
+        items = [tod[i] for i in range(min(len(tod), max_prompts))]
+        if not items or self.model.duration_predictor is None:
+            return
+        batch = self._predict_batch(items)
+        out = self.model.apply(
+            state.model_variables(), jax.random.key(self.cfg.seed),
+            batch["text"], batch["text_lens"], batch["spk_id"],
+            accent_ids=batch["accent_id"],
+            f0_mean=batch["speaker_f0_mean"],
+            f0_std=batch["speaker_f0_std"], sigma=self.cfg.sigma_infer,
+            max_frames=self.cfg.max_infer_frames, method=TTSModel.infer)
+        audio = self._vocode(out["mel"])
+        lens = np.asarray(out["lens"].lengths)
+        for i, item in enumerate(items):
+            wav = np.asarray(audio)[i][: lens[i] * 256]
+            self.logger.audio(f"val/tts_sample_{i}", wav, step,
+                              self.cfg.sampling_rate)
+            self.logger.image(
+                f"val/tts_mel_{i}",
+                plot_mel_to_numpy(np.asarray(out["mel"])[i, :lens[i]]),
+                step)
 
     def _log_val_samples(self, state: TrainState, batch, step: int):
         """Attention images + reconstruction audio
@@ -285,6 +318,8 @@ class Trainer:
     def predict(self, dm, state: Optional[TrainState] = None):
         """TTS / reconstruction prediction -> wav files
         (TTSModel.forward predict path, tts_lightning_modules.py:585-606)."""
+        if self.cfg.predict_mode == "reconstruction":
+            return self.predict_reconstruction(dm, state)
         dm.setup("predict")
         out_dir = (self.cfg.prediction_output_dir
                    or os.path.join(self.cfg.output_directory, "predictions"))
@@ -324,6 +359,43 @@ class Trainer:
             wavfile.write(path, self.cfg.sampling_rate,
                           (np.clip(wav, -1, 1) * 32767).astype(np.int16))
             paths.append(path)
+        print(f"predictions saved to {out_dir}")
+        return paths
+
+    def predict_reconstruction(self, dm, state: Optional[TrainState] = None):
+        """Analysis-synthesis / voice cloning: rebuild each utterance's mel
+        from GT attributes + MAS durations, then vocode
+        (reconstruct_from_batch_attributes,
+        tts_lightning_modules.py:389-437). Voice cloning = change the
+        speaker column in the filelist."""
+        dm.setup("fit")
+        loader = dm.train_dataloader()
+        out_dir = (self.cfg.prediction_output_dir
+                   or os.path.join(self.cfg.output_directory, "predictions"))
+        os.makedirs(out_dir, exist_ok=True)
+        if state is None:
+            first = next(iter(loader))
+            state = self._init_state(first)
+            state, restored = self.ckpt.restore(state)
+            assert restored is not None, "predict requires a checkpoint"
+        hop = 256
+        paths = []
+        for batch in loader:
+            rec = self.model.apply(state.model_variables(),
+                                   jax.random.key(self.cfg.seed),
+                                   device_batch(batch),
+                                   method=TTSModel.reconstruct)
+            audio = self._vocode(rec["mel"])
+            lens = np.asarray(rec["lens"].lengths)
+            for i in range(len(lens)):
+                wav = np.asarray(audio)[i][: lens[i] * hop]
+                path = os.path.join(
+                    out_dir,
+                    f"output_sample_{int(batch['idx'][i])}_"
+                    f"reconstruction.wav")
+                wavfile.write(path, self.cfg.sampling_rate,
+                              (np.clip(wav, -1, 1) * 32767).astype(np.int16))
+                paths.append(path)
         print(f"predictions saved to {out_dir}")
         return paths
 
