@@ -53,6 +53,8 @@ class TTSConfig:
     use_accent_emb_for_decoder: bool = False
     use_accent_emb_for_alignment: bool = False
     use_speaker_emb_for_alignment: bool = True
+    encoder_n_convolutions: int = 3
+    encoder_kernel_size: int = 5
     lstm_norm_fn: Optional[str] = "spectral"
     scale_mel: bool = True
     f0_loss_voiced_only: bool = True
@@ -127,7 +129,10 @@ class TTSModel(nn.Module):
                 c.n_accents, c.n_accent_dim,
                 embedding_init=nn.initializers.normal(1.0))
         self.text_encoder = TextEncoder(
-            encoder_embedding_dim=c.encoder_dim, lstm_norm_fn=c.lstm_norm_fn)
+            encoder_n_convolutions=c.encoder_n_convolutions,
+            encoder_embedding_dim=c.encoder_dim,
+            encoder_kernel_size=c.encoder_kernel_size,
+            lstm_norm_fn=c.lstm_norm_fn)
 
         attention_key_dim = c.n_text_dim
         if c.use_accent_emb_for_alignment:

@@ -64,6 +64,12 @@ class LossConfig:
     energy_weight: float = 1.0
     vpred_weight: float = 1.0
     duration_weight: float = 1.0
+    # 'regression' (masked MSE) or 'bce'; the shipped configs use regression
+    # for all four (even voiced, on raw logits)
+    f0_loss_type: str = "regression"
+    energy_loss_type: str = "regression"
+    vpred_loss_type: str = "bce"
+    duration_loss_type: str = "regression"
     speaker_reg: Optional[Dict[str, float]] = None    # variance/covariance
     accent_reg: Optional[Dict[str, float]] = None
     cross_covariance_weight: Optional[float] = None
@@ -85,19 +91,27 @@ def compute_losses(model: TTSModel, cfg: LossConfig, params, outputs, batch,
         ctc_loss_weight=cfg.ctc_loss_weight)(
             outputs, in_lens, out_lens, binarization_on=binarization_on)
 
+    def attr_loss(loss_type, prefix, weight):
+        cls = AttributeBCELoss if loss_type == "bce" else \
+            AttributeRegressionLoss
+        return cls(prefix, weight)
+
     if "f0_outputs" in outputs:
         mask = (batch["voiced_mask"][..., None]
                 if cfg.f0_loss_voiced_only else None)
-        ld.update(AttributeRegressionLoss("f0_", cfg.f0_weight)(
+        ld.update(attr_loss(cfg.f0_loss_type, "f0_", cfg.f0_weight)(
             outputs["f0_outputs"], out_lens, mask=mask))
     if "energy_outputs" in outputs:
-        ld.update(AttributeRegressionLoss("energy_", cfg.energy_weight)(
+        ld.update(attr_loss(cfg.energy_loss_type, "energy_",
+                            cfg.energy_weight)(
             outputs["energy_outputs"], out_lens))
     if "voiced_outputs" in outputs:
-        ld.update(AttributeBCELoss("vpred_", cfg.vpred_weight)(
+        ld.update(attr_loss(cfg.vpred_loss_type, "vpred_",
+                            cfg.vpred_weight)(
             outputs["voiced_outputs"], out_lens))
     if "duration_outputs" in outputs:
-        ld.update(AttributeRegressionLoss("duration_", cfg.duration_weight)(
+        ld.update(attr_loss(cfg.duration_loss_type, "duration_",
+                            cfg.duration_weight)(
             outputs["duration_outputs"], None,
             mask=in_lens.mask[..., None]))
 

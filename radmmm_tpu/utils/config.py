@@ -105,6 +105,8 @@ def translate_reference_model_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
                                            False),
         use_speaker_emb_for_alignment=m.get("use_speaker_emb_for_alignment",
                                             False),
+        encoder_n_convolutions=encoder_args.get("encoder_n_convolutions", 3),
+        encoder_kernel_size=encoder_args.get("encoder_kernel_size", 5),
         lstm_norm_fn=encoder_args.get("lstm_norm_fn",
                                       m.get("lstm_norm_fn", "spectral")),
         scale_mel=m.get("scale_mel", True),
@@ -126,6 +128,21 @@ def translate_reference_model_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         binarization_start_iter=m.get("binarization_start_iter", 0),
         f0_loss_voiced_only=m.get("f0_loss_voiced_only", True),
     )
+    # per-predictor loss class + weight (the shipped vpred config uses
+    # AttributeRegressionLoss on logits rather than BCE — honor it)
+    for name, key in (("f0", "f0_predictor_loss"),
+                      ("energy", "energy_predictor_loss"),
+                      ("vpred", "voiced_predictor_loss"),
+                      ("duration", "duration_predictor_loss")):
+        section = m.get(key)
+        if section is not None:
+            largs = _init_args(section) or {}
+            loss_kwargs[f"{name}_weight"] = largs.get("weight", 1.0)
+            cls = _class_name(section)
+            if cls:
+                loss_kwargs[f"{name}_loss_type"] = (
+                    "bce" if "BCE" in cls else "regression")
+
     spk_reg = _init_args(m.get("speaker_embed_regularization_loss"))
     if spk_reg:
         loss_kwargs["speaker_reg"] = {

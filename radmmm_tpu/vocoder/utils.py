@@ -75,6 +75,18 @@ def get_vocoder(vocoder_type: str = "hifigan",
     return generator_fn, denoiser
 
 
+def get_vocoder_map(vocoder_map: Dict[str, Dict[str, str]]):
+    """Per-speaker vocoder dispatch (vocoder_utils.py vocoder_map):
+    {speaker: {vocoder_config_path, vocoder_checkpoint_path}} ->
+    {speaker: (generator_fn, denoiser)}."""
+    out = {}
+    for speaker, cfg in (vocoder_map or {}).items():
+        out[speaker] = get_vocoder(
+            "hifigan", cfg.get("vocoder_config_path"),
+            cfg.get("vocoder_checkpoint_path"))
+    return out
+
+
 class GriffinLimVocoder:
     """mel (B, T, n_mels) log-mel -> waveform via pinv(mel basis) + GL."""
 
