@@ -112,10 +112,20 @@ PUNCTUATION = "â€œâ€\\{\\}-!'\"(),.:;? " + "ï¼Œã€‚ï¼Ÿï¼ï¼›ï¼šã€''""ï¼ˆï¼‰ã€ã
 
 
 def _collect_markers(tables: List[Dict[str, List[str]]]):
-    """Split marker tables into bare markers + left/right/other placeholders."""
+    """Split marker tables into bare markers + left/right/other placeholders.
+
+    Inventory-parity quirk: the reference builds the wiki table's
+    non-placeholder buckets from a *stale* loop variable left over from the
+    espeak table (symbols.py:302-305 / 363-366 reuse `markers_list` inside
+    the wiki loop), so the wiki 'suprasegmentals' contribute the espeak
+    articulation entries (anchors and all) instead of themselves. The
+    shipped 426-token production set was built this way, so we reproduce it
+    for tables after the first.
+    """
     placeholder = {"left": [], "right": [], "other": []}
     markers: List[str] = []
-    for table in tables:
+    stale_entries: List[str] = []
+    for table_index, table in enumerate(tables):
         for key, entries in table.items():
             if "placeholder_left" in key:
                 bare = [m[1:] for m in entries]   # strip leading anchor
@@ -124,9 +134,11 @@ def _collect_markers(tables: List[Dict[str, List[str]]]):
                 bare = [m[0] for m in entries]    # keep marker before anchor
                 placeholder["right"] += bare
             else:
-                bare = entries
-                placeholder["other"] += entries
+                bare = stale_entries if table_index > 0 else entries
+                placeholder["other"] += bare
             markers += bare
+            if table_index == 0:
+                stale_entries = entries
     return sorted(set(markers)), {k: sorted(set(v))
                                   for k, v in placeholder.items()}
 
