@@ -86,7 +86,11 @@ class BottleneckLayer(nn.Module):
 
 
 class ConvLSTMLinear(nn.Module):
-    """conv stack -> (Bi)LSTM (spectral norm) -> linear (common.py:240-333)."""
+    """conv stack -> (Bi)LSTM (spectral norm) -> linear (common.py:240-333).
+
+    `spectral_norm=False` is the `remove_norms` inference configuration
+    (models/radmmm.py:150-168).
+    """
     out_dim: int
     n_layers: int = 2
     n_channels: int = 256
@@ -94,6 +98,7 @@ class ConvLSTMLinear(nn.Module):
     p_dropout: float = 0.1
     lstm_type: Optional[str] = "bilstm"
     use_linear: bool = True
+    spectral_norm: bool = True
 
     @nn.compact
     def __call__(self, x, lens: SeqLens, train: bool = True):
@@ -107,7 +112,8 @@ class ConvLSTMLinear(nn.Module):
         if self.lstm_type:
             bi = self.lstm_type == "bilstm"
             hidden = n_channels // 2 if bi else n_channels
-            x = MaskedLSTM(hidden, bidirectional=bi, spectral_norm=True,
+            x = MaskedLSTM(hidden, bidirectional=bi,
+                           spectral_norm=self.spectral_norm,
                            name="lstm")(x, lens.mask, update_sn=train)
         if self.use_linear:
             x = Linear(self.out_dim, name="dense")(x)
