@@ -140,8 +140,9 @@ def total_loss(loss_dict):
 
 def create_train_state(model: TTSModel, tx: optax.GradientTransformation,
                        sample_batch, rng) -> TrainState:
-    variables = model.init({"params": rng, "dropout": rng}, sample_batch,
-                           binarize=False, train=True)
+    init_fn = jax.jit(functools.partial(model.init, binarize=False,
+                                        train=True))
+    variables = init_fn({"params": rng, "dropout": rng}, sample_batch)
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
