@@ -85,7 +85,8 @@ class Featurizer:
                  mel_fmax=8000.0, f0_min=80.0, f0_max=640.0,
                  use_log_f0=True, use_scaled_energy=True,
                  use_attn_prior_masking=True,
-                 betabinom_scaling_factor=0.05):
+                 betabinom_scaling_factor=0.05,
+                 mel_noise_scale=0.0, distance_tx_unvoiced=False):
         self.mel = MelSpectrogram(filter_length, hop_length, win_length,
                                   n_mel_channels, sampling_rate, mel_fmin,
                                   mel_fmax)
@@ -97,6 +98,8 @@ class Featurizer:
         self.use_scaled_energy = use_scaled_energy
         self.use_attn_prior_masking = use_attn_prior_masking
         self.betabinom_scaling_factor = betabinom_scaling_factor
+        self.mel_noise_scale = mel_noise_scale
+        self.distance_tx_unvoiced = distance_tx_unvoiced
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _featurize(self, audio, audio_lens, text_lens, max_text: int):
@@ -116,6 +119,31 @@ class Featurizer:
         if self.use_log_f0:
             f0 = jnp.where(f0 >= self.f0_min, jnp.log(jnp.maximum(f0, 1.0)),
                            0.0)                       # data.py:321-327
+        if self.distance_tx_unvoiced:
+            # f0 -= log(distance to nearest voiced frame), clamped at 0
+            # (data.py:528-532); 1-D distance transform via two cumulative
+            # scans over the frame axis
+            unvoiced = f0 <= 0.0
+            T = f0.shape[1]
+            idx = jnp.arange(T, dtype=jnp.float32)[None, :]
+            big = jnp.float32(T)
+            last_voiced = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(~unvoiced, idx, -big), axis=1)
+            next_voiced = -jax.lax.associative_scan(
+                jnp.maximum, jnp.where(~unvoiced, -idx, -2 * big), axis=1,
+                reverse=True)
+            dist = jnp.minimum(idx - last_voiced, next_voiced - idx)
+            dist = jnp.clip(dist, 0.0, big)
+            dmap = jnp.maximum(jnp.log(jnp.maximum(dist, 1e-6)), 0.0)
+            f0 = f0 - jnp.where(unvoiced, dmap, 0.0)
+        if self.mel_noise_scale > 0:
+            # data.py:374-375; fold the batch content into the noise key so
+            # augmentation differs per batch without threading host RNG
+            key = jax.random.fold_in(
+                jax.random.key(0),
+                jnp.sum(audio_lens).astype(jnp.int32))
+            mel = mel + jax.random.normal(key, mel.shape) \
+                * self.mel_noise_scale
 
         energy = mel.mean(axis=-1)                    # data.py:363-366
         if self.use_scaled_energy:

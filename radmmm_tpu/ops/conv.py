@@ -142,6 +142,17 @@ class MaskedConv1d(nn.Module):
         return out
 
 
+class DenseLayer(nn.Module):
+    """Stack of tanh-activated linears (common.py:194-205)."""
+    sizes: tuple = (1024, 1024)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i, size in enumerate(self.sizes):
+            x = jnp.tanh(Linear(size, name=f"linear_{i}")(x))
+        return x
+
+
 class Linear(nn.Module):
     """LinearNorm equivalent (common.py:139-149): xavier-uniform init."""
     features: int

@@ -157,3 +157,36 @@ def test_bucket_batcher_groups_by_length():
     batches = list(iter(bb))
     assert sorted(batches[0]) == [0, 2, 4]
     assert sorted(batches[1]) == [1, 3, 5]
+
+
+def test_featurizer_optional_transforms(corpus):
+    import jax.numpy as jnp
+    root, datasets, phonemizer_cfg = corpus
+    dm = make_module(corpus)
+    dm.setup("fit")
+    items = [dm.trainset[i] for i in range(2)]
+    host = collate_host(items)
+    feat = Featurizer(mel_fmax=8000.0, mel_noise_scale=0.01,
+                      distance_tx_unvoiced=True)
+    batch = feat(host)
+    f0 = np.asarray(batch["f0"])
+    lens = np.asarray(batch["output_lengths"])
+    assert np.isfinite(f0).all()
+    # distance transform drives unvoiced f0 negative near long gaps... at
+    # minimum it never raises values and padding stays exactly zero
+    assert np.abs(f0[0, lens[0]:]).max() == 0
+    base = dm.featurizer(host)
+    assert not np.allclose(np.asarray(batch["mel"])[:, :8],
+                           np.asarray(base["mel"])[:, :8])  # noise applied
+
+
+def test_dense_layer(rng):
+    import jax
+    import jax.numpy as jnp
+    from radmmm_tpu.ops.conv import DenseLayer
+    x = jnp.asarray(rng.standard_normal((3, 6)).astype(np.float32))
+    mod = DenseLayer(sizes=(8, 4))
+    v = mod.init(jax.random.key(0), x)
+    out = mod.apply(v, x)
+    assert out.shape == (3, 4)
+    assert (np.abs(np.asarray(out)) <= 1.0).all()  # tanh range
