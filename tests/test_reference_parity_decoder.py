@@ -18,11 +18,14 @@ REF = "/root/reference"
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference repo not mounted")
 
-if os.path.isdir(REF) and REF not in sys.path:
-    sys.path.insert(0, REF)
+if os.path.isdir(REF):
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
     # decoders.py imports hifigan_models from the vocoders dir (the
     # reference relies on the same sys.path hack, vocoder_utils.py:23)
-    sys.path.insert(0, os.path.join(REF, "vocoders"))
+    voc = os.path.join(REF, "vocoders")
+    if voc not in sys.path:
+        sys.path.insert(0, voc)
 
 # stub numba (unavailable) before the reference import chain pulls it in
 if "numba" not in sys.modules:
