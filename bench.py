@@ -1,9 +1,12 @@
-"""Benchmark: end-to-end text->mel synthesis throughput on one TPU chip.
+"""Benchmark: end-to-end text->audio synthesis throughput on one TPU chip.
 
-Flagship RADMMM configuration (8 flows, WN-1024 couplings, group size 2),
-batch 32, 800 mel frames per item (~9.3 s of 22.05 kHz audio at hop 256).
-Reports the aggregate real-time factor — seconds of audio synthesized per
-wall-clock second per chip — against the ≥100x north star (BASELINE.md).
+Flagship RADMMM configuration (8 flows, WN-1024 couplings, group size 2)
+followed by the HiFi-GAN v1 vocoder, batch 32, 800 mel frames per item
+(~9.3 s of 22.05 kHz audio at hop 256). The full pipeline — text encoding,
+duration/F0/energy/voiced prediction, flow inverse, vocoding to waveform —
+runs as one jitted program. Reports the aggregate real-time factor (seconds
+of audio synthesized per wall-clock second per chip) against the >=100x
+north star (BASELINE.md).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -57,29 +60,39 @@ def main():
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
             init_batch)
 
+    from radmmm_tpu.vocoder.hifigan import Generator, HiFiGANConfig
+    voc_cfg = HiFiGANConfig()          # v1: 512ch, rates (8,8,2,2)
+    vocoder = Generator(config=voc_cfg)
+    voc_vars = jax.jit(vocoder.init)(jax.random.key(7),
+                                     jnp.zeros((1, 32, 80)))
+
     @jax.jit
-    def run(v, key):
+    def run(v, vv, key):
         out = model.apply(v, key, text, text_lens, speaker_ids,
                           accent_ids=accent_ids, f0_mean=f0_mean,
                           f0_std=f0_std, sigma=0.8, max_frames=MAX_FRAMES,
                           method=TTSModel.infer)
+        # vocode in groups of 8 items: HiFi-GAN activations at full batch
+        # exceed HBM (upsampled length x wide channels)
+        mel_groups = out["mel"].reshape(4, 8, MAX_FRAMES, 80)
+        audio = jax.lax.map(lambda m: vocoder.apply(vv, m), mel_groups)
         # reduce in-graph; fetching the scalar forces real completion (the
         # axon relay's block_until_ready returns before execution finishes)
-        return jnp.sum(out["mel"])
+        return jnp.sum(audio)
 
-    float(run(variables, jax.random.key(0)))   # compile + warm
+    float(run(variables, voc_vars, jax.random.key(0)))   # compile + warm
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        float(run(variables, jax.random.key(i + 1)))
+        float(run(variables, voc_vars, jax.random.key(i + 1)))
     dt = time.perf_counter() - t0
 
     frames = B * MAX_FRAMES * iters
     audio_seconds = frames * HOP / SR
     rtf = audio_seconds / dt
     print(json.dumps({
-        "metric": "tts_mel_rtf_b32",
+        "metric": "tts_text_to_audio_rtf_b32",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 100.0, 3),
