@@ -65,6 +65,11 @@ def main():
     vocoder = Generator(config=voc_cfg)
     voc_vars = jax.jit(vocoder.init)(jax.random.key(7),
                                      jnp.zeros((1, 32, 80)))
+    # bf16 weights/activations for vocoding: halves HBM traffic on the
+    # long upsampled sequences (bf16 keeps fp32 range; standard for
+    # neural-vocoder serving)
+    voc_vars = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), voc_vars)
 
     @jax.jit
     def run(v, vv, key):
@@ -74,8 +79,10 @@ def main():
                           method=TTSModel.infer)
         # vocode in groups of 8 items: HiFi-GAN activations at full batch
         # exceed HBM (upsampled length x wide channels)
-        mel_groups = out["mel"].reshape(4, 8, MAX_FRAMES, 80)
+        mel_groups = out["mel"].reshape(4, 8, MAX_FRAMES, 80) \
+            .astype(jnp.bfloat16)
         audio = jax.lax.map(lambda m: vocoder.apply(vv, m), mel_groups)
+        audio = audio.astype(jnp.float32)
         # reduce in-graph; fetching the scalar forces real completion (the
         # axon relay's block_until_ready returns before execution finishes)
         return jnp.sum(audio)
