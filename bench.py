@@ -77,9 +77,9 @@ def main():
                           accent_ids=accent_ids, f0_mean=f0_mean,
                           f0_std=f0_std, sigma=0.8, max_frames=MAX_FRAMES,
                           method=TTSModel.infer)
-        # vocode in groups of 8 items: HiFi-GAN activations at full batch
-        # exceed HBM (upsampled length x wide channels)
-        mel_groups = out["mel"].reshape(4, 8, MAX_FRAMES, 80) \
+        # vocode in two groups: full-batch f32 activations exceed HBM, but
+        # bf16 halves them; two groups leaves headroom
+        mel_groups = out["mel"].reshape(2, 16, MAX_FRAMES, 80) \
             .astype(jnp.bfloat16)
         audio = jax.lax.map(lambda m: vocoder.apply(vv, m), mel_groups)
         audio = audio.astype(jnp.float32)
