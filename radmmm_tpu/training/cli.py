@@ -65,7 +65,8 @@ def build_all(cfg: dict):
 def main(argv: List[str] = None):
     argv = argv if argv is not None else sys.argv[1:]
     parser = argparse.ArgumentParser(prog="radmmm_tpu")
-    parser.add_argument("subcommand", choices=["fit", "predict"])
+    parser.add_argument("subcommand",
+                        choices=["fit", "predict", "vocoder-fit"])
     parser.add_argument("-c", "--config", action="append", default=[],
                         help="YAML config (repeatable; later overrides)")
     parser.add_argument("--ckpt_path", default=None)
@@ -80,6 +81,14 @@ def main(argv: List[str] = None):
 
     cfg = load_configs(args.config)
     cfg = apply_overrides(cfg, [u for u in unknown if "=" in u])
+
+    if args.subcommand == "vocoder-fit":
+        from radmmm_tpu.data.module import AudioDataModule
+        from radmmm_tpu.training.vocoder_loop import vocoder_fit
+        from radmmm_tpu.utils.config import translate_reference_data_config
+        dm = AudioDataModule(**translate_reference_data_config(cfg))
+        vocoder_fit(cfg, dm)
+        return
 
     dm, trainer = build_all(cfg)
     if args.subcommand == "fit":
