@@ -54,17 +54,31 @@ class CheckpointManager:
 
     def restore(self, state, step: Optional[int] = None):
         """Restore into the given template state; subtrees missing from the
-        checkpoint keep their live values (on_load_checkpoint semantics)."""
+        checkpoint keep their live values (on_load_checkpoint semantics,
+        tts_lightning_modules.py:523-540)."""
         step = step if step is not None else self.mgr.latest_step()
         if step is None:
             return state, None
         template = dataclasses.asdict(state)
+        # subtrees dropped at save time (pretrained/frozen) are absent from
+        # the on-disk tree; restore only what exists, keep live values for
+        # the rest
+        meta = self.mgr.item_metadata(step)
+        meta_tree = getattr(meta, "tree", meta)
+        if isinstance(meta_tree, dict) and "params" in meta_tree:
+            on_disk = set(meta_tree["params"].keys())
+            skipped = {k: v for k, v in template["params"].items()
+                       if k not in on_disk}
+            template["params"] = {k: v for k, v in template["params"].items()
+                                  if k in on_disk}
+        else:
+            skipped = {}
         item = self.mgr.restore(
             step, args=ocp.args.StandardRestore(template, strict=False))
-        merged_params = dict(template["params"])
-        for k, v in item["params"].items():
-            if v is not None:
-                merged_params[k] = v
+        merged_params = dict(item["params"])
+        for k, v in skipped.items():
+            print(f"Module {k} not loaded from checkpoint")
+            merged_params[k] = v
         item["params"] = merged_params
         restored = type(state)(**{
             f.name: item[f.name] for f in dataclasses.fields(state)})

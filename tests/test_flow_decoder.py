@@ -121,3 +121,23 @@ def test_flow_logdet_consistency(rng):
     got = float(sum(np.asarray(ls).sum() for ls in out["log_s_list"])
                 + sum(float(d) * T for d in out["log_det_W_list"]))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_flow_with_spline_steps(rng):
+    """n_splines>0: first steps use quadratic spline couplings
+    (decoders.py:51-61); forward must stay invertible end-to-end."""
+    flow = tiny_flow(n_splines=1, use_bn=False)
+    mel, spk, ctx, f0, energy, acc, lens = tiny_batch(rng)
+    mel = jnp.clip(mel, -2.0, 2.0)
+    variables = flow.init(jax.random.key(0), mel, spk, ctx, lens, f0,
+                          energy, acc)
+    out = flow.apply(variables, mel, spk, ctx, lens, f0, energy, acc,
+                     train=False)
+    assert np.isfinite(np.asarray(out["z_mel"])).all()
+    dur = jnp.ones((2, 12), jnp.int32) * lens.fmask(jnp.int32)
+    rec = flow.apply(variables, jax.random.key(1), spk, ctx, 1.0, dur, f0,
+                     energy, lens, acc, residual=out["z_mel"],
+                     method=flow.infer)
+    got = np.asarray(rec["mel"])
+    want = np.asarray(mel) * np.asarray(lens.fmask())[..., None]
+    np.testing.assert_allclose(got[0, :12], want[0, :12], atol=5e-3)
