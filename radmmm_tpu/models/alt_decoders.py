@@ -122,6 +122,34 @@ class DeterministicDecoder(nn.Module):
         return {"mel_hat": mel_hat}
 
 
+class E2ETTSDecoder(nn.Module):
+    """End-to-end waveform regime: deterministic mel decoder feeding a
+    HiFi-GAN generator, trained with the multi-res STFT (+GAN) losses
+    (RADTTSE2EGANLoss, loss.py:408-497). The reference keeps this path
+    dormant; here it is a working module."""
+    n_mel_channels: int = 80
+    n_speaker_dim: int = 16
+    n_layers: int = 4
+    n_channels: int = 512
+    vocoder_config: Optional[object] = None   # HiFiGANConfig
+
+    def setup(self):
+        from radmmm_tpu.vocoder.hifigan import Generator, HiFiGANConfig
+        self.mel_decoder = DeterministicDecoder(
+            self.n_mel_channels, self.n_speaker_dim, self.n_layers,
+            self.n_channels)
+        cfg = self.vocoder_config or HiFiGANConfig(
+            n_mel_channels=self.n_mel_channels)
+        self.generator = Generator(config=cfg)
+
+    def __call__(self, context, spk_vecs, lens: SeqLens, f0=None,
+                 energy_avg=None, train: bool = True):
+        out = self.mel_decoder(context, spk_vecs, lens, f0, energy_avg,
+                               train=train)
+        audio_hat = self.generator(out["mel_hat"])
+        return {"mel_hat": out["mel_hat"], "audio_hat": audio_hat}
+
+
 @dataclasses.dataclass(frozen=True)
 class DiffusionSchedule:
     n_steps: int = 100

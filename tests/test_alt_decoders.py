@@ -90,3 +90,39 @@ def test_acronym_normalizer():
 
     out3 = AcronymNormalizer(FakeDict())("the NASA launch")
     assert "{N AE1 S AH0}" in out3
+
+
+def test_e2e_gan_decoder_regime(rng):
+    from radmmm_tpu.losses.flow import RADTTSE2EGANLoss
+    from radmmm_tpu.models.alt_decoders import E2ETTSDecoder
+    from radmmm_tpu.vocoder.hifigan import HiFiGANConfig
+
+    ctx, spk, lens = make_ctx(rng, T=32)
+    cfg = HiFiGANConfig(upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+                        upsample_initial_channel=16,
+                        resblock_kernel_sizes=(3,),
+                        resblock_dilation_sizes=((1, 3),),
+                        n_mel_channels=8)
+    dec = E2ETTSDecoder(n_mel_channels=8, n_speaker_dim=4, n_layers=1,
+                        n_channels=16, vocoder_config=cfg)
+    f0 = jnp.asarray(rng.uniform(0, 1, (2, 32)).astype(np.float32))
+    variables = dec.init(jax.random.key(0), ctx, spk, lens, f0, f0)
+    out = dec.apply(variables, ctx, spk, lens, f0, f0, train=False)
+    assert out["audio_hat"].shape == (2, 32 * 8)
+
+    audio_gt = jnp.asarray(
+        rng.standard_normal((2, 32 * 8)).astype(np.float32) * 0.1)
+    audio_lens = jnp.asarray([32 * 8, 20 * 8], jnp.float32)
+    in_lens = SeqLens.create(jnp.asarray([6, 4]), 6)
+    model_output = {
+        **out,
+        "attn": attn_stub(rng, 2, 32, 6),
+        "attn_soft": attn_stub(rng, 2, 32, 6),
+        "attn_logprob": jnp.log(attn_stub(rng, 2, 32, 6))}
+    loss_fn = RADTTSE2EGANLoss(fft_lengths=(256, 512),
+                               hop_lengths=(64, 128),
+                               win_lengths=(256, 512))
+    ld = loss_fn(model_output, audio_gt, audio_lens, in_lens, lens, False)
+    assert np.isfinite(float(ld["stft_loss_sc"][0]))
+    assert np.isfinite(float(ld["stft_loss_mag"][0]))
+    assert "loss_ctc" in ld
