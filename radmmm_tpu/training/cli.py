@@ -56,6 +56,8 @@ def build_all(cfg: dict):
         vocoder_config_path=run["vocoder_config_path"],
         vocoder_checkpoint_path=run["vocoder_checkpoint_path"],
         sampling_rate=data_kwargs["featurizer_kwargs"]["sampling_rate"],
+        hop_length=data_kwargs["featurizer_kwargs"]["hop_length"],
+        conv_precision=cfg.get("model", {}).get("conv_precision", "f32"),
         prediction_output_dir=run["prediction_output_dir"],
         predict_mode=run["predict_mode"],
     )

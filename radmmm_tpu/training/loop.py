@@ -61,6 +61,9 @@ class TrainerConfig:
     predict_mode: str = "tts"
     sigma_infer: float = 0.8
     max_infer_frames: int = 1024
+    hop_length: int = 256
+    # 'f32' (reference regime) or 'bf16' (native MXU throughput)
+    conv_precision: str = "f32"
     log_decoder_samples: bool = True
     # fixed prompts synthesized + logged at every validation (the
     # LogAttributeSamplesCallback idiom, training_callbacks.py:90-210)
@@ -80,6 +83,9 @@ class Trainer:
         self.model = TTSModel(config=tts_config)
         self.loss_cfg = loss_config
         self.cfg = trainer_config
+        from radmmm_tpu.ops.conv import set_conv_precision
+        set_conv_precision("bf16" if self.cfg.conv_precision == "bf16"
+                           else "f32")
         os.makedirs(self.cfg.output_directory, exist_ok=True)
         self.logger = TrainLogger(
             os.path.join(self.cfg.output_directory, "tb"))
@@ -258,7 +264,7 @@ class Trainer:
         audio = self._vocode(out["mel"])
         lens = np.asarray(out["lens"].lengths)
         for i, item in enumerate(items):
-            wav = np.asarray(audio)[i][: lens[i] * 256]
+            wav = np.asarray(audio)[i][: lens[i] * self.cfg.hop_length]
             self.logger.audio(f"val/tts_sample_{i}", wav, step,
                               self.cfg.sampling_rate)
             self.logger.image(
@@ -307,13 +313,21 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _vocode(self, mels):
-        voc_fn, denoiser = get_vocoder(
-            "hifigan", self.cfg.vocoder_config_path,
-            self.cfg.vocoder_checkpoint_path)
-        if voc_fn is not None:
-            return get_audio_for_mels(mels, "hifigan", voc_fn, denoiser)
-        gl = GriffinLimVocoder(sampling_rate=self.cfg.sampling_rate)
-        return gl(mels)
+        if not hasattr(self, "_vocoder"):
+            voc_fn, denoiser = get_vocoder(
+                "hifigan", self.cfg.vocoder_config_path,
+                self.cfg.vocoder_checkpoint_path)
+            if voc_fn is None:
+                gl = GriffinLimVocoder(sampling_rate=self.cfg.sampling_rate)
+                voc_fn, denoiser = gl, None
+                self._vocoder_is_gl = True
+            else:
+                self._vocoder_is_gl = False
+            self._vocoder = (voc_fn, denoiser)
+        voc_fn, denoiser = self._vocoder
+        if self._vocoder_is_gl:
+            return voc_fn(mels)
+        return get_audio_for_mels(mels, "hifigan", voc_fn, denoiser)
 
     def predict(self, dm, state: Optional[TrainState] = None):
         """TTS / reconstruction prediction -> wav files
@@ -349,7 +363,7 @@ class Trainer:
             method=TTSModel.infer)
         audio = self._vocode(out["mel"])
         lens = np.asarray(out["lens"].lengths)
-        hop = 256
+        hop = self.cfg.hop_length
         paths = []
         for i, item in enumerate(items):
             wav = np.asarray(audio)[i][: lens[i] * hop]
@@ -378,7 +392,7 @@ class Trainer:
             state = self._init_state(first)
             state, restored = self.ckpt.restore(state)
             assert restored is not None, "predict requires a checkpoint"
-        hop = 256
+        hop = self.cfg.hop_length
         paths = []
         for batch in loader:
             rec = self.model.apply(state.model_variables(),
