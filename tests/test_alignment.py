@@ -139,3 +139,38 @@ def test_ctc_gradient_finite(rng):
     g = jax.grad(lambda a: attention_ctc_loss(
         a, jnp.asarray([5, 3]), jnp.asarray([16, 12])))(logits)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_mas_degenerate_lengths(rng):
+    """text_len=1 and mel_len=1 items must produce valid alignments."""
+    attn = soft_attn(rng, 3, 10, 5)
+    text_lens = np.array([1, 5, 3], np.int32)
+    mel_lens = np.array([10, 1, 3], np.int32)
+    opt = np.asarray(mas_width1(jnp.asarray(attn), jnp.asarray(text_lens),
+                                jnp.asarray(mel_lens)))
+    # item 0: all mel frames on the single token
+    np.testing.assert_array_equal(opt[0, :10, 0], 1.0)
+    assert opt[0, :, 1:].sum() == 0
+    # item 1: single mel frame on the last... reference puts it at token
+    # text_len-1 then the trailing write also marks token 0
+    want = mas_width1_ref(attn[1, :1, :5])
+    np.testing.assert_array_equal(opt[1, :1, :5], want)
+    # item 2 matches oracle
+    want2 = mas_width1_ref(attn[2, :3, :3])
+    np.testing.assert_array_equal(opt[2, :3, :3], want2)
+
+
+def test_ctc_degenerate_lengths(rng):
+    logits = rng.standard_normal((2, 8, 4)).astype(np.float32)
+    loss = float(attention_ctc_loss(jnp.asarray(logits),
+                                    jnp.asarray([1, 4]),
+                                    jnp.asarray([8, 2])))
+    want = torch_ctc_oracle(logits, np.array([1, 4]), np.array([8, 2]))
+    np.testing.assert_allclose(loss, want, rtol=1e-4, atol=1e-5)
+
+
+def test_length_regulator_zero_total(rng):
+    x = jnp.asarray(rng.standard_normal((1, 3, 2)).astype(np.float32))
+    out, lens = regulate_length(x, jnp.zeros((1, 3), jnp.int32), 4)
+    assert int(lens[0]) == 0
+    assert np.abs(np.asarray(out)).sum() == 0
