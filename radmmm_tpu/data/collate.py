@@ -86,7 +86,8 @@ class Featurizer:
                  use_log_f0=True, use_scaled_energy=True,
                  use_attn_prior_masking=True,
                  betabinom_scaling_factor=0.05,
-                 mel_noise_scale=0.0, distance_tx_unvoiced=False):
+                 mel_noise_scale=0.0, distance_tx_unvoiced=False,
+                 seed=0):
         self.mel = MelSpectrogram(filter_length, hop_length, win_length,
                                   n_mel_channels, sampling_rate, mel_fmin,
                                   mel_fmax)
@@ -100,9 +101,12 @@ class Featurizer:
         self.betabinom_scaling_factor = betabinom_scaling_factor
         self.mel_noise_scale = mel_noise_scale
         self.distance_tx_unvoiced = distance_tx_unvoiced
+        self.seed = seed
+        self._n_calls = 0  # host-side counter -> fresh noise key per batch
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
-    def _featurize(self, audio, audio_lens, text_lens, max_text: int):
+    def _featurize(self, audio, audio_lens, text_lens, max_text: int,
+                   noise_key):
         mel = self.mel(audio)                         # (B, F, n_mels)
         # truncate the +1 frame so mel frames == bucket multiple
         mel = mel[:, :audio.shape[1] // self.hop_length]
@@ -137,12 +141,9 @@ class Featurizer:
             dmap = jnp.maximum(jnp.log(jnp.maximum(dist, 1e-6)), 0.0)
             f0 = f0 - jnp.where(unvoiced, dmap, 0.0)
         if self.mel_noise_scale > 0:
-            # data.py:374-375; fold the batch content into the noise key so
-            # augmentation differs per batch without threading host RNG
-            key = jax.random.fold_in(
-                jax.random.key(0),
-                jnp.sum(audio_lens).astype(jnp.int32))
-            mel = mel + jax.random.normal(key, mel.shape) \
+            # data.py:374-375; per-batch key threaded from the host-side
+            # call counter, so the same batch gets different noise each epoch
+            mel = mel + jax.random.normal(noise_key, mel.shape) \
                 * self.mel_noise_scale
 
         energy = mel.mean(axis=-1)                    # data.py:363-366
@@ -167,11 +168,19 @@ class Featurizer:
 
     def __call__(self, host_batch: Dict[str, Any]) -> Dict[str, Any]:
         """host collate dict -> full train-step batch (device arrays)."""
+        if self.mel_noise_scale > 0:
+            noise_key = jax.random.fold_in(jax.random.key(self.seed),
+                                           self._n_calls)
+            self._n_calls += 1
+        else:  # unused by the jitted graph; avoid per-batch dispatches
+            if not hasattr(self, "_null_key"):
+                self._null_key = jax.random.key(self.seed)
+            noise_key = self._null_key
         mel, mel_lens, f0, voiced, p_voiced, energy, prior = self._featurize(
             jnp.asarray(host_batch["audio"]),
             jnp.asarray(host_batch["audio_lengths"]),
             jnp.asarray(host_batch["input_lengths"]),
-            int(host_batch["text"].shape[1]))
+            int(host_batch["text"].shape[1]), noise_key)
         batch = {k: jnp.asarray(v) for k, v in host_batch.items()
                  if isinstance(v, np.ndarray)}
         batch.update(mel=mel, output_lengths=mel_lens, f0=f0,
@@ -185,24 +194,30 @@ class Featurizer:
 
 class BucketBatcher:
     """Length-bucketed batch index sampler: groups utterances of similar
-    mel length so padded shapes stay in a small static set."""
+    mel length so padded shapes stay in a small static set, while batch
+    *membership* reshuffles every epoch within length windows (the
+    reference reshuffles membership fully each epoch; windows keep the
+    shape-bucket benefit)."""
 
     def __init__(self, lengths: Sequence[float], batch_size: int,
-                 shuffle: bool = True, seed: int = 0):
+                 shuffle: bool = True, seed: int = 0,
+                 bucket_window_batches: int = 8):
         self.lengths = np.asarray(lengths)
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
+        self.window = batch_size * max(1, bucket_window_batches)
 
     def __iter__(self):
         order = np.argsort(self.lengths, kind="stable")
+        if self.shuffle:
+            for s in range(0, len(order), self.window):
+                self.rng.shuffle(order[s:s + self.window])
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
         if self.shuffle:
             self.rng.shuffle(batches)
         for b in batches:
-            if self.shuffle:
-                self.rng.shuffle(b)
             yield list(map(int, b))
 
     def __len__(self):

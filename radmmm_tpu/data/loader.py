@@ -20,7 +20,9 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  featurizer: Optional[Callable] = None,
                  num_threads: int = 4, prefetch: int = 2, seed: int = 0,
-                 hop_length: int = 256, drop_last: bool = False):
+                 hop_length: int = 256, drop_last: bool = False,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.featurizer = featurizer
@@ -28,11 +30,29 @@ class DataLoader:
         self.prefetch = prefetch
         self.hop_length = hop_length
         self.drop_last = drop_last
+        # multi-host DP (jax.distributed): each process takes a strided
+        # subset of batches, truncated so every host runs the same number of
+        # steps per epoch (no straggler deadlock at the collectives)
+        if process_count is None:
+            import jax
+            process_count = jax.process_count()
+            process_index = jax.process_index()
+        self.process_index = process_index or 0
+        self.process_count = max(1, process_count)
         lengths = [u.duration for u in dataset.data]
         self.batcher = BucketBatcher(lengths, batch_size, shuffle, seed)
 
     def __len__(self):
-        return len(self.batcher)
+        return len(self.batcher) // self.process_count
+
+    def _my_batches(self):
+        n_use = (len(self.batcher) // self.process_count) \
+            * self.process_count
+        for i, indices in enumerate(self.batcher):
+            if i >= n_use:
+                break
+            if i % self.process_count == self.process_index:
+                yield indices
 
     def _load_batch(self, pool, indices):
         items = list(pool.map(self.dataset.__getitem__, indices))
@@ -50,7 +70,7 @@ class DataLoader:
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_threads) as pool:
-                    for indices in self.batcher:
+                    for indices in self._my_batches():
                         q.put(self._load_batch(pool, indices))
             except BaseException as e:  # propagate into the consumer
                 q.put(e)

@@ -51,7 +51,9 @@ class AudioDataModule:
         self.val_config = val_config
         self.inference_transcript = inference_transcript
         self.dataset_kwargs = dict(dataset_kwargs or {})
-        self.featurizer = Featurizer(**(featurizer_kwargs or {}))
+        fk = dict(featurizer_kwargs or {})
+        fk.setdefault("seed", seed)
+        self.featurizer = Featurizer(**fk)
         self.trainset = None
         self.valset = None
         self.predictset = None

@@ -30,8 +30,9 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     n = len(devices)
     if n_data is None:
         n_data = n // n_model
-    assert n_data * n_model == n, (n_data, n_model, n)
-    arr = np.asarray(devices).reshape(n_data, n_model)
+    need = n_data * n_model
+    assert need <= n, (n_data, n_model, n)
+    arr = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
@@ -41,10 +42,58 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Split the batch's leading dim over the data axis.
+
+    Single-host: a plain device_put with a NamedSharding. Multi-host (after
+    jax.distributed.initialize, the DDP-launch equivalent): each process
+    holds a *different* host-local batch; the global array is assembled from
+    the per-process shards over ICI/DCN, so the global batch is
+    B_local x n_processes — the same per-device batch semantics as the
+    reference's Lightning DDP (configs/RADMMM_train_config.yaml:27-30).
+    """
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, s) if hasattr(x, "ndim") and x.ndim >= 1
-        else x, batch)
+    multi_host = jax.process_count() > 1
+
+    def put(x):
+        if not (hasattr(x, "ndim") and x.ndim >= 1):
+            return x
+        if multi_host:
+            return jax.make_array_from_process_local_data(s, np.asarray(x))
+        return jax.device_put(x, s)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def shard_state(state, mesh: Mesh, tx=None):
+    """Lay a TrainState out over the mesh: params by the TP rules, small
+    collections replicated. Optimizer moment pytrees (RAdam m/v mirror the
+    params) inherit each param's layout — derived by jitting ``tx.init`` on
+    the sharded params and reusing its output shardings, so restored
+    optimizer state keeps its values but moves to the right layout."""
+    import dataclasses
+
+    param_sh = variables_shardings(state.params, mesh)
+    rep = replicated(mesh)
+    params = jax.device_put(state.params, param_sh)
+    opt_state = state.opt_state
+    if tx is not None:
+        with jax.set_mesh(mesh):
+            ref_opt = jax.jit(tx.init)(params)
+        opt_sh = jax.tree_util.tree_map(lambda x: x.sharding, ref_opt)
+        opt_state = jax.tree_util.tree_map(
+            jax.device_put, opt_state, opt_sh)
+    else:
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), opt_state)
+    return dataclasses.replace(
+        state,
+        params=params,
+        buffers=jax.device_put(state.buffers, rep),
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        spectral=jax.device_put(state.spectral, rep),
+        opt_state=opt_state,
+        step=jax.device_put(state.step, rep),
+    )
 
 
 # Params whose widest dim rides the model axis. The WN stacks inside the 8

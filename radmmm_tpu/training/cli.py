@@ -39,7 +39,15 @@ def build_all(cfg: dict):
 
     trainer_section = cfg.get("trainer", {})
     run = translated["run"]
+    # the reference's `trainer.devices` (DDP GPU count) maps to the data
+    # axis; `n_data`/`n_model` select the mesh shape explicitly
+    devices = trainer_section.get("devices")
+    n_data = trainer_section.get(
+        "n_data", devices if isinstance(devices, int) else None)
     trainer_cfg = TrainerConfig(
+        n_data=n_data,
+        n_model=trainer_section.get("n_model", 1),
+        griffin_lim_iters=trainer_section.get("griffin_lim_iters", 30),
         output_directory=run["output_directory"],
         max_steps=trainer_section.get("max_steps", 1_000_000),
         max_epochs=trainer_section.get("max_epochs", 10_000),

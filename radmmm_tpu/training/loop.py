@@ -9,6 +9,7 @@ logs losses plus attention/mel images and (optionally vocoded) audio.
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 import time
@@ -50,8 +51,12 @@ class TrainerConfig:
     optim_algo: str = "RAdam"
     grad_clip_val: Optional[float] = 1.0
     use_syncbnorm: bool = False
-    n_data: Optional[int] = None          # mesh axes; None = all devices DP
+    # mesh axes (the DDP `devices` equivalent): None = all visible devices
+    # data-parallel; n_model > 1 additionally shards the WN coupling kernels
+    # (tensor parallelism) per parallel.mesh's TP rules
+    n_data: Optional[int] = None
     n_model: int = 1
+    griffin_lim_iters: int = 30           # fallback vocoder iterations
     decoder_path: Optional[str] = None
     encoders_path: Optional[str] = None
     vocoder_config_path: Optional[str] = None
@@ -93,6 +98,7 @@ class Trainer:
             os.path.join(self.cfg.output_directory, "ckpt"),
             max_to_keep=self.cfg.max_to_keep)
         self._step_cache: Dict[Any, Any] = {}
+        self.mesh = None                  # built in fit() from n_data/n_model
         self.frozen_prefixes = []
         if self.cfg.decoder_path:
             self.frozen_prefixes.append("decoder")
@@ -130,6 +136,36 @@ class Trainer:
         return dataclasses.replace(state, params=params,
                                    opt_state=self.tx.init(params))
 
+    # ------------------------------------------------------------------
+    # mesh / sharding (the reference's DDP layer, SURVEY.md §2.7)
+    def _make_mesh(self):
+        """data×model Mesh over all visible devices; None when 1×1."""
+        n_model = max(1, self.cfg.n_model)
+        n_dev = jax.device_count()
+        n_data = (self.cfg.n_data if self.cfg.n_data is not None
+                  else max(1, n_dev // n_model))
+        if n_data * n_model <= 1:
+            return None
+        return pmesh.make_mesh(n_data=n_data, n_model=n_model)
+
+    def _put_batch(self, batch, train: bool = True):
+        """Place a host batch: sharded over the data axis on a mesh (global
+        batch = host batch × n_processes), plain device arrays otherwise.
+
+        Ragged tail batches that don't divide the data axis return None for
+        the caller to drop (DDP drop_last semantics); at validation on one
+        host they run replicated instead so no val item is lost."""
+        b = device_batch(batch)
+        if self.mesh is None:
+            return b
+        n_data = self.mesh.shape[pmesh.DATA_AXIS]
+        B_global = int(np.shape(b["text"])[0]) * jax.process_count()
+        if B_global % n_data == 0:
+            return pmesh.shard_batch(b, self.mesh)
+        if not train and jax.process_count() == 1:
+            return jax.device_put(b, pmesh.replicated(self.mesh))
+        return None
+
     def _train_step_fn(self, binarize: bool, kl_on: bool):
         key = (binarize, kl_on)
         if key not in self._step_cache:
@@ -161,6 +197,17 @@ class Trainer:
         dm.setup("fit")
         if self.cfg.save_code_snapshot:
             self.save_current_code()
+        self.mesh = self._make_mesh()
+        mesh_ctx = (jax.set_mesh(self.mesh) if self.mesh is not None
+                    else contextlib.nullcontext())
+        if self.mesh is not None:
+            print(f"training over mesh {dict(self.mesh.shape)} "
+                  f"({jax.process_count()} process(es), "
+                  f"{jax.device_count()} devices)")
+        with mesh_ctx:
+            return self._fit_loop(dm, resume)
+
+    def _fit_loop(self, dm, resume: bool):
         train_loader = dm.train_dataloader()
         first_batch = next(iter(train_loader))
         state = self._init_state(first_batch)
@@ -173,9 +220,12 @@ class Trainer:
                 start_step = int(restored)
                 print(f"resumed from step {start_step}")
 
+        if self.mesh is not None:
+            state = pmesh.shard_state(state, self.mesh, self.tx)
+
         if restored is None:
             whiten = jax.jit(make_whitening_init(self.model))
-            state = whiten(state, device_batch(first_batch))
+            state = whiten(state, self._put_batch(first_batch, train=False))
             print("initialized whitening conv from first batch")
 
         val_step = jax.jit(make_val_step(self.model, self.loss_cfg))
@@ -187,10 +237,19 @@ class Trainer:
                 binarize, kl_on = phase_flags(step, self.loss_cfg)
                 step_fn = self._train_step_fn(binarize, kl_on)
                 rng, sub = jax.random.split(rng)
+                batch_dev = self._put_batch(batch)
+                if batch_dev is None:
+                    if int(np.shape(batch["text"])[0]) >= dm.batch_size:
+                        raise ValueError(
+                            f"batch size {dm.batch_size} × "
+                            f"{jax.process_count()} process(es) is not "
+                            f"divisible by the data axis "
+                            f"({self.mesh.shape[pmesh.DATA_AXIS]})")
+                    continue  # ragged tail batch (DDP drop_last semantics)
                 if (self.cfg.profile_dir
                         and step == self.cfg.profile_start_step):
                     jax.profiler.start_trace(self.cfg.profile_dir)
-                state, metrics = step_fn(state, device_batch(batch), sub)
+                state, metrics = step_fn(state, batch_dev, sub)
                 step += 1
                 if (self.cfg.profile_dir
                         and step == self.cfg.profile_start_step
@@ -230,7 +289,10 @@ class Trainer:
         loader = dm.val_dataloader()
         first = None
         for batch in loader:
-            metrics = val_step(state, device_batch(batch))
+            bd = self._put_batch(batch, train=False)
+            if bd is None:
+                continue
+            metrics = val_step(state, bd)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
             if first is None:
@@ -275,8 +337,10 @@ class Trainer:
     def _log_val_samples(self, state: TrainState, batch, step: int):
         """Attention images + reconstruction audio
         (LogDecoderSamplesCallback, training_callbacks.py:36-210)."""
-        outputs = self.model.apply(state.model_variables(),
-                                   device_batch(batch),
+        batch_dev = self._put_batch(batch, train=False)
+        if batch_dev is None:
+            return
+        outputs = self.model.apply(state.model_variables(), batch_dev,
                                    binarize=True, train=False,
                                    mutable=False)
         attn = np.asarray(outputs["attn"])[0]
@@ -300,7 +364,7 @@ class Trainer:
             }), step)
         # reconstruction (analysis-synthesis) sample
         rec = self.model.apply(state.model_variables(), jax.random.key(0),
-                               device_batch(batch),
+                               batch_dev,
                                method=TTSModel.reconstruct)
         mel_rec = np.asarray(rec["mel"])[0, :out_len]
         self.logger.image("val/mel_reconstructed",
@@ -318,7 +382,13 @@ class Trainer:
                 "hifigan", self.cfg.vocoder_config_path,
                 self.cfg.vocoder_checkpoint_path)
             if voc_fn is None:
-                gl = GriffinLimVocoder(sampling_rate=self.cfg.sampling_rate)
+                print("no vocoder checkpoint configured — validation audio "
+                      f"uses griffin-lim ({self.cfg.griffin_lim_iters} "
+                      "iters; set trainer.griffin_lim_iters / "
+                      "vocoder_checkpoint_path)")
+                gl = GriffinLimVocoder(sampling_rate=self.cfg.sampling_rate,
+                                       hop_length=self.cfg.hop_length,
+                                       n_iters=self.cfg.griffin_lim_iters)
                 voc_fn, denoiser = gl, None
                 self._vocoder_is_gl = True
             else:

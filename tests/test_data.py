@@ -159,6 +159,56 @@ def test_bucket_batcher_groups_by_length():
     assert sorted(batches[1]) == [1, 3, 5]
 
 
+def test_bucket_batcher_reshuffles_membership_each_epoch():
+    """Batch composition must vary across epochs (within length windows)
+    while still covering every index exactly once per epoch."""
+    rng = np.random.default_rng(0)
+    lengths = rng.uniform(1.0, 10.0, 64)
+    bb = BucketBatcher(lengths, batch_size=4, shuffle=True, seed=0,
+                       bucket_window_batches=4)
+    e1 = [frozenset(b) for b in bb]
+    e2 = [frozenset(b) for b in bb]
+    assert sorted(i for b in e1 for i in b) == list(range(64))
+    assert sorted(i for b in e2 for i in b) == list(range(64))
+    assert set(e1) != set(e2)
+    # windows bound the length spread: max within-batch length ratio stays
+    # far below the unbucketed worst case
+    for b in e1:
+        ls = lengths[list(b)]
+        assert ls.max() / ls.min() < 3.0
+
+
+def test_mel_noise_differs_across_epochs(corpus):
+    """The same host batch must receive different mel noise on every
+    featurizer call (round-1 weak #4: key was folded from batch content)."""
+    dm = make_module(corpus)
+    dm.setup("fit")
+    host = collate_host([dm.trainset[i] for i in range(2)])
+    feat = Featurizer(mel_noise_scale=0.05, seed=7)
+    m1 = np.asarray(feat(host)["mel"])
+    m2 = np.asarray(feat(host)["mel"])
+    assert not np.allclose(m1, m2)
+    # deterministic across runs given the same seed and call index
+    feat_b = Featurizer(mel_noise_scale=0.05, seed=7)
+    np.testing.assert_allclose(np.asarray(feat_b(host)["mel"]), m1)
+
+
+def test_dataloader_process_sharding(corpus):
+    """Multi-host striding: two simulated processes see disjoint batches
+    covering the same epoch, truncated to equal step counts."""
+    dm = make_module(corpus)
+    dm.setup("fit")
+    loads = []
+    for p in range(2):
+        loader = DataLoader(dm.trainset, batch_size=1, shuffle=False,
+                            featurizer=None, num_threads=1,
+                            process_index=p, process_count=2)
+        assert len(loader) == 2
+        loads.append([int(i) for b in iter(loader) for i in b["idx"]])
+    assert not set(loads[0]) & set(loads[1])
+    assert sorted(loads[0] + loads[1]) == [0, 1, 2, 3]
+
+
 def test_featurizer_optional_transforms(corpus):
     import jax.numpy as jnp
     root, datasets, phonemizer_cfg = corpus
