@@ -126,8 +126,10 @@ class MelSpectrogram:
                  win_length: int = 1024, n_mel_channels: int = 80,
                  sampling_rate: int = 22050, mel_fmin: float = 0.0,
                  mel_fmax: float | None = None):
-        assert win_length >= filter_length, \
-            "reference asserts win_length >= filter_length (audio_processing.py:214)"
+        # Documented divergence: the reference *asserts*
+        # win_length >= filter_length (audio_processing.py:214); librosa
+        # accepts shorter windows (center-padded to n_fft), and so does this
+        # build — the pad_center branch below handles it.
         self.filter_length = filter_length
         self.hop_length = hop_length
         self.win_length = win_length
