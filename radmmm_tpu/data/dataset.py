@@ -45,6 +45,8 @@ def load_filelists(datasets: Dict[str, Dict[str, Any]],
     """Parse the reference's dataset dict format (data.py:246-286)."""
     out: List[Utterance] = []
     for name, d in datasets.items():
+        if d is None:  # overlay configs remove a corpus by nulling its key
+            continue
         base = os.path.join(d["basedir"], str(d.get("sampling_rate", "")))
         filelist = os.path.join(d.get("filelist_basedir", ""), d["filelist"])
         language = d.get("language", "en_US") if multilingual else "en_US"
@@ -147,7 +149,8 @@ class AudioDataset:
         self.n_base_speakers = len(self.speaker_ids)
         self.augmentations = None
         if use_wave_augmentations:
-            self.augmentations = WaveAugmentations(**(wave_aug_config or {}))
+            self.augmentations = WaveAugmentations.from_config(
+                wave_aug_config)
         self.speaker_stats = load_speaker_stats(speaker_stats_path)
 
     def __len__(self):
@@ -195,7 +198,7 @@ class AudioDataset:
         aug_factors = {}
         if self.augmentations is not None:
             apply, aug_index, aug_factors = self.augmentations.sample(
-                self.rng)
+                self.rng, language=item.language)
             if apply:
                 audio = self.augmentations.apply(audio, aug_factors)
                 speaker_id = self.augmentations.remap_speaker_id(

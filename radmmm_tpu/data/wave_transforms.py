@@ -176,12 +176,47 @@ class WaveAugmentations:
     use_duration_scaling: bool = False
     duration_range: tuple = (0.9, 1.1)
     n_augmentations: int = 1
+    # reference schema (wave_transforms.py:82-160): a categorical choice
+    # over fixed (type, scale) pairs; entry 0 is conventionally "none".
+    aug_types: Optional[list] = None
+    aug_scales: Optional[list] = None
+    aug_probabilities: Optional[list] = None
+    aug_languages_applicable: Optional[list] = None
+    num_aug_in_batch: int = 0
+    randomize_transform: bool = False
+
+    @classmethod
+    def from_config(cls, cfg: Optional[dict]):
+        """Accepts both this class's kwargs and the reference's
+        wave_aug_config schema (aug_types/aug_scales/aug_probabilities...)."""
+        cfg = dict(cfg or {})
+        if cfg.get("aug_types"):
+            n = sum(1 for t in cfg["aug_types"] if t != "none")
+            cfg.setdefault("n_augmentations", n)
+        return cls(**cfg)
 
     def print_settings(self):
         print(f"WaveAugmentations({dataclasses.asdict(self)})")
 
-    def sample(self, rng: np.random.Generator):
+    def sample(self, rng: np.random.Generator, language: Optional[str] = None):
         """Host-side decision: (apply?, aug_index, factors dict)."""
+        if self.aug_types:
+            if (self.aug_languages_applicable is not None
+                    and language is not None
+                    and language not in self.aug_languages_applicable):
+                return False, 0, {}
+            p = np.asarray(self.aug_probabilities, np.float64)
+            choice = int(rng.choice(len(self.aug_types), p=p / p.sum()))
+            if self.aug_types[choice] == "none":
+                return False, 0, {}
+            scale = float(self.aug_scales[choice])
+            if self.randomize_transform:
+                scale = float(rng.uniform(min(scale, 1.0), max(scale, 1.0)))
+            kind = self.aug_types[choice].replace("scale_", "")
+            # aug ids count only the non-"none" entries, in order
+            aug_index = sum(1 for t in self.aug_types[:choice + 1]
+                            if t != "none")
+            return True, aug_index, {kind: scale}
         if rng.uniform() > self.aug_probability:
             return False, 0, {}
         aug_index = int(rng.integers(1, self.n_augmentations + 1))

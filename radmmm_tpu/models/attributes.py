@@ -265,7 +265,9 @@ class LSTMConvDAP(nn.Module):
 
     @nn.compact
     def __call__(self, x_target, text_enc, spk_emb, lens: SeqLens,
-                 train=True):
+                 x_mean=None, x_std=None, accent_emb=None, train=True):
+        # x_mean/x_std/accent_emb accepted for DAP-interface uniformity;
+        # this backbone is speaker-only (attribute_predictors.py:200-227)
         if x_target is not None:
             x_target = tx_target(x_target, **self._tx_kwargs())
         h = BottleneckLayer(self.in_dim, self.reduction_factor,
@@ -280,6 +282,7 @@ class LSTMConvDAP(nn.Module):
                          name="backbone")(h, lens, train=train)
         return {"x_hat": x_hat, "x": x_target}
 
-    def infer(self, text_enc, spk_emb, lens: SeqLens):
+    def infer(self, text_enc, spk_emb, lens: SeqLens, x_mean=None,
+              x_std=None, accent_emb=None):
         out = self(None, text_enc, spk_emb, lens, train=False)
         return inv_tx_target(out["x_hat"], **self._tx_kwargs())

@@ -142,11 +142,21 @@ class TTSModel(nn.Module):
         self.attention = ConvAttention(c.n_mel_channels, attention_key_dim)
 
         self.decoder = RADMMMFlow(**c.decoder)
+        # predictor backbone chosen by the reference's class_path
+        # (attribute_predictors.ConvLSTMLinearDAP / LSTMConvDAP — the RADTTS
+        # duration recipe uses the LSTMConv backbone)
+        from radmmm_tpu.models.attributes import LSTMConvDAP
+        dap_classes = {"ConvLSTMLinearDAP": ConvLSTMLinearDAP,
+                       "LSTMConvDAP": LSTMConvDAP}
         for attr in ("f0_predictor", "energy_predictor", "voiced_predictor",
                      "duration_predictor"):
             pcfg = getattr(c, attr)
-            setattr(self, attr,
-                    ConvLSTMLinearDAP(**pcfg) if pcfg is not None else None)
+            if pcfg is None:
+                setattr(self, attr, None)
+                continue
+            pcfg = dict(pcfg)
+            cls = dap_classes[pcfg.pop("_class", "ConvLSTMLinearDAP")]
+            setattr(self, attr, cls(**pcfg))
 
     # ---- pieces -----------------------------------------------------------
     def encode_speaker(self, spk_ids):

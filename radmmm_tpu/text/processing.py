@@ -14,6 +14,7 @@ the data pipeline).
 """
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, List, Optional
 
@@ -59,20 +60,33 @@ class TextProcessing:
         self.g2p_type = g2p_type
         self.rng = rng or np.random.default_rng(1234)
         self.heteronyms = (set(_lines(heteronyms_path))
-                           if heteronyms_path else set())
+                           if heteronyms_path and os.path.exists(
+                               heteronyms_path) else set())
 
+        # Missing dictionary assets degrade gracefully (warn + raw-text
+        # passthrough) instead of crashing at construction — the reference
+        # hits a bare pdb.set_trace() here (data.py:206-211); phonemizerless
+        # recipes never consult these dicts at all.
         self.phonemedict = None
         self.phonemizer_backend_dict: Dict[str, Grapheme2PhonemeDictionary] = {}
         if g2p_type == "phonemizer":
             for language, path in (phonemizer_cfg or {}).items():
+                if not os.path.exists(path):
+                    print(f"TextProcessing: phonemizer dict for {language} "
+                          f"not found at {path}; G2P disabled for it")
+                    continue
                 self.phonemizer_backend_dict[language] = \
                     Grapheme2PhonemeDictionary(
                         path, encoding=encoding, split_token=dict_split_token,
                         language=language)
         elif phoneme_dict_path:
-            self.phonemedict = Grapheme2PhonemeDictionary(
-                phoneme_dict_path, encoding=encoding,
-                split_token=dict_split_token)
+            if os.path.exists(phoneme_dict_path):
+                self.phonemedict = Grapheme2PhonemeDictionary(
+                    phoneme_dict_path, encoding=encoding,
+                    split_token=dict_split_token)
+            else:
+                print(f"TextProcessing: phoneme dict not found at "
+                      f"{phoneme_dict_path}; G2P disabled")
 
         self.cleaner = Cleaner(cleaner_name, self.phonemedict)
         self.p_phoneme = p_phoneme

@@ -83,7 +83,12 @@ def translate_reference_model_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
     predictors = {}
     for name in ("f0_predictor", "energy_predictor", "voiced_predictor",
                  "duration_predictor"):
-        predictors[name] = _init_args(m.get(name))
+        args = _init_args(m.get(name))
+        if args is not None:
+            cls = _class_name(m.get(name))
+            if cls and cls != "ConvLSTMLinearDAP":
+                args["_class"] = cls
+        predictors[name] = args
 
     encoder_args = _init_args(m.get("text_encoder")) or {}
 
@@ -198,6 +203,10 @@ def translate_reference_data_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         wave_aug_config=init.get("wave_aug_config"),
         speaker_stats_path=init.get("speaker_stats_path"),
         f0_pred_type=init.get("f0_pred_type", "norm_log_f0"),
+        include_speakers=init.get("include_speakers"),
+        include_emotions=init.get("include_emotions"),
+        speaker_map=init.get("speaker_map"),
+        audio_cache_path=init.get("lmdb_cache_path"),
     )
     featurizer_kwargs = dict(
         filter_length=init.get("filter_length", 1024),
@@ -244,6 +253,7 @@ def translate_reference_data_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         g2p_type=init.get("g2p_type", "phonemizer"),
         phonemizer_cfg=init.get("phonemizer_cfg"),
         inference_transcript=init.get("inference_transcript"),
+        num_threads=init.get("num_workers", 4),
         dataset_kwargs=dataset_kwargs,
         featurizer_kwargs=featurizer_kwargs,
     )
