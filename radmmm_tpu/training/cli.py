@@ -61,6 +61,7 @@ def build_all(cfg: dict):
         use_syncbnorm=run["use_syncbnorm"],
         decoder_path=run["decoder_path"],
         encoders_path=run["encoders_path"],
+        vocoder_type=run.get("vocoder_type", "hifigan"),
         vocoder_config_path=run["vocoder_config_path"],
         vocoder_checkpoint_path=run["vocoder_checkpoint_path"],
         sampling_rate=data_kwargs["featurizer_kwargs"]["sampling_rate"],

@@ -59,6 +59,7 @@ class TrainerConfig:
     griffin_lim_iters: int = 30           # fallback vocoder iterations
     decoder_path: Optional[str] = None
     encoders_path: Optional[str] = None
+    vocoder_type: str = "hifigan"         # 'hifigan' | 'waveglow'
     vocoder_config_path: Optional[str] = None
     vocoder_checkpoint_path: Optional[str] = None
     sampling_rate: int = 22050
@@ -379,7 +380,7 @@ class Trainer:
     def _vocode(self, mels):
         if not hasattr(self, "_vocoder"):
             voc_fn, denoiser = get_vocoder(
-                "hifigan", self.cfg.vocoder_config_path,
+                self.cfg.vocoder_type, self.cfg.vocoder_config_path,
                 self.cfg.vocoder_checkpoint_path)
             if voc_fn is None:
                 print("no vocoder checkpoint configured — validation audio "
@@ -397,7 +398,8 @@ class Trainer:
         voc_fn, denoiser = self._vocoder
         if self._vocoder_is_gl:
             return voc_fn(mels)
-        return get_audio_for_mels(mels, "hifigan", voc_fn, denoiser)
+        return get_audio_for_mels(mels, self.cfg.vocoder_type, voc_fn,
+                                  denoiser)
 
     def predict(self, dm, state: Optional[TrainState] = None):
         """TTS / reconstruction prediction -> wav files

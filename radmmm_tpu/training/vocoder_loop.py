@@ -35,8 +35,7 @@ from radmmm_tpu.vocoder.hifigan import HiFiGANConfig
 
 def vocoder_fit(cfg: Dict[str, Any], dm) -> None:
     vc = cfg.get("vocoder", {})
-    gen_cfg = HiFiGANConfig(**{k: tuple(v) if isinstance(v, list) else v
-                               for k, v in vc.get("generator", {}).items()})
+    vocoder_type = vc.get("vocoder_type", "hifigan")
     feat_kwargs = dm.featurizer
     train_cfg = VocoderTrainConfig(
         sampling_rate=feat_kwargs.sampling_rate,
@@ -62,7 +61,15 @@ def vocoder_fit(cfg: Dict[str, Any], dm) -> None:
                         featurizer=None, num_threads=dm.num_threads,
                         hop_length=train_cfg.hop_length)
 
-    trainer = HiFiGANTrainer(gen_cfg, train_cfg)
+    if vocoder_type == "waveglow":
+        from radmmm_tpu.training.vocoder_train import WaveGlowTrainer
+        trainer = WaveGlowTrainer(vc.get("generator", {}), train_cfg,
+                                  sigma=vc.get("sigma", 1.0))
+    else:
+        gen_cfg = HiFiGANConfig(**{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in vc.get("generator", {}).items()})
+        trainer = HiFiGANTrainer(gen_cfg, train_cfg)
     rng = np.random.default_rng(0)
     state = None
     step = 0
@@ -91,9 +98,10 @@ def vocoder_fit(cfg: Dict[str, Any], dm) -> None:
                 m["steps_per_sec"] = log_interval / dt
                 t_last = time.perf_counter()
                 logger.scalars("vocoder", m, step)
+                extra = (f"disc={m['disc_loss']:.3f} mel={m['gen_mel']:.3f} "
+                         if "disc_loss" in m else "")
                 print(f"vocoder step {step}: gen={m['gen_loss']:.3f} "
-                      f"disc={m['disc_loss']:.3f} mel={m['gen_mel']:.3f} "
-                      f"({m['steps_per_sec']:.2f} it/s)")
+                      f"{extra}({m['steps_per_sec']:.2f} it/s)")
             if step % iters_per_checkpoint == 0 or step >= max_steps:
                 mgr.save(step, args=ocp.args.StandardSave(
                     dataclasses.asdict(state)))

@@ -146,6 +146,61 @@ class HiFiGANTrainer:
         return new_state, metrics
 
 
+@dataclasses.dataclass
+class WaveGlowTrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+jax.tree_util.register_dataclass(WaveGlowTrainState)
+
+
+class WaveGlowTrainer:
+    """Maximum-likelihood WaveGlow training (the capability the reference
+    vendors as waveglow_for_LIMMITS23/train.py): flow NLL on random audio
+    segments + aligned mel windows, Adam at 1e-4 (config.json train_config),
+    same jitted-loop interface as HiFiGANTrainer."""
+
+    def __init__(self, waveglow_config: Dict[str, Any],
+                 cfg: VocoderTrainConfig = VocoderTrainConfig(),
+                 sigma: float = 1.0):
+        from radmmm_tpu.vocoder.waveglow import WaveGlow, waveglow_loss
+        kw = dict(hop_length=cfg.hop_length,
+                  n_mel_channels=cfg.n_mel_channels)
+        kw.update(waveglow_config or {})
+        self.model = WaveGlow(**kw)
+        self.cfg = cfg
+        self.sigma = sigma
+        self._loss = waveglow_loss
+        self.mel_loss_fn = MelSpectrogram(
+            cfg.filter_length, cfg.hop_length, cfg.win_length,
+            cfg.n_mel_channels, cfg.sampling_rate, 0.0, cfg.mel_fmax)
+        self.tx = optax.adam(cfg.learning_rate)
+
+    def init_state(self, rng, batch) -> WaveGlowTrainState:
+        variables = self.model.init(rng, batch["audio"], batch["mel"])
+        return WaveGlowTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            opt_state=self.tx.init(variables["params"]))
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: WaveGlowTrainState, batch):
+        def loss_fn(params):
+            out = self.model.apply({"params": params}, batch["audio"],
+                                   batch["mel"])
+            return self._loss(out, sigma=self.sigma)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = WaveGlowTrainState(step=state.step + 1, params=params,
+                                       opt_state=opt_state)
+        return new_state, {"gen_loss": loss, "nll": loss}
+
+
 def random_segments(audio: np.ndarray, audio_lens: np.ndarray,
                     mel_fn: MelSpectrogram, segment_size: int,
                     rng: np.random.Generator) -> Dict[str, jnp.ndarray]:

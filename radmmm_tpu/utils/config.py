@@ -175,6 +175,7 @@ def translate_reference_model_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         iters_per_checkpoint=m.get("iters_per_checkpoint", 3000),
         binarization_start_iter=m.get("binarization_start_iter", 0),
         seed=m.get("seed") or cfg.get("seed_everything", 42),
+        vocoder_type=m.get("vocoder_type", "hifigan"),
         vocoder_config_path=m.get("vocoder_config_path"),
         vocoder_checkpoint_path=m.get("vocoder_checkpoint_path"),
         sampling_rate=m.get("sampling_rate", 22050),

@@ -47,20 +47,48 @@ def get_vocoder(vocoder_type: str = "hifigan",
                 vocoder_map=None, with_denoiser: bool = True):
     """-> (generator_fn(mel (B,T,80)) -> (B, T*hop), denoiser or None).
 
-    Loads upstream torch `g_*` checkpoints through the state-dict converter.
-    Returns (None, None) when unconfigured (caller falls back to
-    griffin-lim).
+    Dispatches hifigan and waveglow like the reference
+    (vocoder_utils.py:35-132); loads upstream torch checkpoints (`g_*`
+    HiFi-GAN state dicts, LIMMITS23 WaveGlow `model` checkpoints) through
+    the state-dict converters. Returns (None, None) when unconfigured
+    (caller falls back to griffin-lim).
     """
-    if vocoder_type != "hifigan":
+    if vocoder_type not in ("hifigan", "waveglow"):
         raise ValueError(f"unsupported vocoder type {vocoder_type}")
     if not vocoder_checkpoint_path or not os.path.exists(
             str(vocoder_checkpoint_path)):
         return None, None
+    import torch
+    ckpt = torch.load(vocoder_checkpoint_path, map_location="cpu",
+                      weights_only=False)
+
+    if vocoder_type == "waveglow":
+        from radmmm_tpu.vocoder.waveglow import (WaveGlow,
+                                                 load_waveglow_config,
+                                                 load_torch_waveglow_params)
+        state_dict = ckpt.get("model", ckpt)
+        if hasattr(state_dict, "state_dict"):   # full pickled nn.Module
+            state_dict = state_dict.state_dict()
+        wg = WaveGlow(**load_waveglow_config(
+            vocoder_config_path if vocoder_config_path
+            and os.path.exists(str(vocoder_config_path)) else None))
+        variables = load_torch_waveglow_params(state_dict, wg)
+        infer = jax.jit(functools.partial(wg.apply, method=WaveGlow.infer),
+                        static_argnames=("sigma",))
+
+        def generator_fn(mel, sigma: float = 0.667, rng=None):
+            # sigma 0.667: the reference's default (vocoder_utils.py:38)
+            rng = rng if rng is not None else jax.random.key(0)
+            return infer(variables, rng, mel, sigma=sigma)
+
+        denoiser = (Denoiser(lambda _, mel: generator_fn(mel, sigma=0.0),
+                             None, n_mel_channels=wg.n_mel_channels)
+                    if with_denoiser else None)
+        return generator_fn, denoiser
+
     cfg = (load_hifigan_config(vocoder_config_path)
            if vocoder_config_path and os.path.exists(vocoder_config_path)
            else HiFiGANConfig())
-    import torch
-    ckpt = torch.load(vocoder_checkpoint_path, map_location="cpu")
     state_dict = ckpt.get("generator", ckpt)
     variables = load_torch_generator_params(state_dict, cfg)
     gen = Generator(config=cfg)
@@ -82,7 +110,8 @@ def get_vocoder_map(vocoder_map: Dict[str, Dict[str, str]]):
     out = {}
     for speaker, cfg in (vocoder_map or {}).items():
         out[speaker] = get_vocoder(
-            "hifigan", cfg.get("vocoder_config_path"),
+            cfg.get("vocoder_type", "hifigan"),
+            cfg.get("vocoder_config_path"),
             cfg.get("vocoder_checkpoint_path"))
     return out
 

@@ -135,8 +135,9 @@ class WaveGlow(nn.Module):
             n_half = z.shape[-1] // 2
             z0, z1 = z[..., :n_half], z[..., n_half:]
             params = self.wn[i](z0, cond)
-            log_s = params[..., :n_half]
-            b = params[..., n_half:]
+            # reference layout (glow.py:241-243): b first half, log_s second
+            b = params[..., :n_half]
+            log_s = params[..., n_half:]
             z1 = jnp.exp(log_s) * z1 + b
             z = jnp.concatenate([z0, z1], axis=-1)
             log_s_list.append(log_s)
@@ -147,13 +148,20 @@ class WaveGlow(nn.Module):
                 "log_det_W_list": log_det_W_list}
 
     def infer(self, rng, mel, sigma: float = 1.0,
-              n_samples: Optional[int] = None):
-        """mel (B, T_mel, 80) -> audio (B, T_mel*hop)."""
+              n_samples: Optional[int] = None, residual=None):
+        """mel (B, T_mel, 80) -> audio (B, T_mel*hop).
+
+        `residual` (B, Tg, n_group) overrides the Gaussian draw — layout
+        matches __call__'s z (early exits first, final channels last), so
+        infer(residual=forward(audio, mel)['z']) reconstructs the audio."""
         if n_samples is None:
             n_samples = mel.shape[1] * self.hop_length
         cond = self.upsample_mel(mel, n_samples)
         B, Tg, _ = cond.shape
-        residual = jax.random.normal(rng, (B, Tg, self.n_group)) * sigma
+        if residual is None:
+            residual = jax.random.normal(rng, (B, Tg, self.n_group)) * sigma
+        else:
+            residual = residual[:, :Tg]
         n_early_total = len(self.exit_steps) * self.n_early_size
         z = residual[..., n_early_total:]
         exit_stack = list(self.exit_steps)
@@ -161,8 +169,8 @@ class WaveGlow(nn.Module):
             n_half = z.shape[-1] // 2
             z0, z1 = z[..., :n_half], z[..., n_half:]
             params = self.wn[i](z0, cond)
-            log_s = params[..., :n_half]
-            b = params[..., n_half:]
+            b = params[..., :n_half]
+            log_s = params[..., n_half:]
             z1 = (z1 - b) * jnp.exp(-log_s)
             z = jnp.concatenate([z0, z1], axis=-1)
             z = self.convinv[i](z, inverse=True)
@@ -173,6 +181,81 @@ class WaveGlow(nn.Module):
                     [residual[..., lo:lo + self.n_early_size], z], axis=-1)
         B, Tg, g = z.shape
         return z.reshape(B, Tg * g)
+
+
+def load_waveglow_config(config_path: Optional[str]) -> dict:
+    """waveglow_config (+WN_config) kwargs from the vendored train
+    config.json (waveglow_for_LIMMITS23/config.json) or a flat json/yaml."""
+    kwargs = {}
+    if config_path:
+        import json
+        with open(config_path) as f:
+            raw = json.load(f)
+        wg = raw.get("waveglow_config", raw)
+        wn = wg.pop("WN_config", {})
+        kwargs = dict(wg)
+        if "n_layers" in wn:
+            kwargs["wn_layers"] = wn["n_layers"]
+        if "n_channels" in wn:
+            kwargs["wn_channels"] = wn["n_channels"]
+        data = raw.get("data_config", {})
+        if "hop_length" in data:
+            kwargs["hop_length"] = data["hop_length"]
+    return kwargs
+
+
+def load_torch_waveglow_params(state_dict, model: "WaveGlow"):
+    """Convert a torch WaveGlow checkpoint (the vendored LIMMITS23 tree's
+    glow.py naming: upsample / convinv.N.conv / WN.N.{start,in_layers.M,
+    cond_layer,res_skip_layers.M,end}) to this module's params.
+
+    Handles both weight-normed (weight_v/weight_g) and remove_weightnorm'd
+    (plain weight) checkpoints; the reference's single fused cond_layer
+    (2*n_channels*n_layers rows) is sliced into this module's per-layer
+    cond projections — weight_norm is per-output-row, so slicing v and g
+    row-wise is exact.
+    """
+    import numpy as np
+
+    def npy(t):
+        return np.asarray(t.detach().cpu().numpy()
+                          if hasattr(t, "detach") else t)
+
+    def wnorm_conv(base, rows=None):
+        """-> {v, g, bias} for a MaskedConv1d(use_weight_norm=True)."""
+        if f"{base}.weight_v" in state_dict:
+            v = npy(state_dict[f"{base}.weight_v"])
+            g = npy(state_dict[f"{base}.weight_g"]).reshape(-1)
+        else:
+            v = npy(state_dict[f"{base}.weight"])
+            g = np.linalg.norm(v.reshape(v.shape[0], -1), axis=1)
+        b = npy(state_dict[f"{base}.bias"])
+        if rows is not None:
+            lo, hi = rows
+            v, g, b = v[lo:hi], g[lo:hi], b[lo:hi]
+        return {"v": v.transpose(2, 1, 0), "g": g, "bias": b}
+
+    nc = model.wn_channels
+    params = {
+        "upsample_kernel_w":
+            npy(state_dict["upsample.weight"]).transpose(2, 0, 1),
+        "upsample_bias": npy(state_dict["upsample.bias"]),
+    }
+    for i in range(model.n_flows):
+        params[f"convinv_{i}"] = {
+            "weight": npy(state_dict[f"convinv.{i}.conv.weight"])[..., 0]}
+        wn = {"start": wnorm_conv(f"WN.{i}.start"),
+              "end": {
+                  "kernel":
+                      npy(state_dict[f"WN.{i}.end.weight"]).transpose(2, 1, 0),
+                  "bias": npy(state_dict[f"WN.{i}.end.bias"])}}
+        for j in range(model.wn_layers):
+            wn[f"in_{j}"] = wnorm_conv(f"WN.{i}.in_layers.{j}")
+            wn[f"cond_{j}"] = wnorm_conv(f"WN.{i}.cond_layer",
+                                         rows=(2 * nc * j, 2 * nc * (j + 1)))
+            wn[f"res_skip_{j}"] = wnorm_conv(f"WN.{i}.res_skip_layers.{j}")
+        params[f"wn_{i}"] = wn
+    return {"params": params}
 
 
 def waveglow_loss(outputs, sigma: float = 1.0):
