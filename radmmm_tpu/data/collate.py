@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from radmmm_tpu.data.pitch import yin_f0
+from radmmm_tpu.data.pitch import yin_f0, pyin_f0
 from radmmm_tpu.ops.priors import beta_binomial_prior
 from radmmm_tpu.ops.stft import MelSpectrogram
 
@@ -87,7 +87,7 @@ class Featurizer:
                  use_attn_prior_masking=True,
                  betabinom_scaling_factor=0.05,
                  mel_noise_scale=0.0, distance_tx_unvoiced=False,
-                 seed=0):
+                 f0_method="pyin", seed=0):
         self.mel = MelSpectrogram(filter_length, hop_length, win_length,
                                   n_mel_channels, sampling_rate, mel_fmin,
                                   mel_fmax)
@@ -101,6 +101,9 @@ class Featurizer:
         self.betabinom_scaling_factor = betabinom_scaling_factor
         self.mel_noise_scale = mel_noise_scale
         self.distance_tx_unvoiced = distance_tx_unvoiced
+        # 'pyin' (HMM-Viterbi-smoothed, librosa.pyin equivalent) or 'yin'
+        # (per-frame observations only)
+        self.f0_method = f0_method
         self.seed = seed
         self._n_calls = 0  # host-side counter -> fresh noise key per batch
 
@@ -113,7 +116,8 @@ class Featurizer:
         mel_lens = jnp.minimum(1 + audio_lens // self.hop_length,
                                mel.shape[1]).astype(jnp.int32)
 
-        f0, voiced, p_voiced = yin_f0(
+        f0_fn = pyin_f0 if self.f0_method == "pyin" else yin_f0
+        f0, voiced, p_voiced = f0_fn(
             audio, sampling_rate=self.sampling_rate,
             frame_length=self.filter_length, hop_length=self.hop_length,
             f0_min=self.f0_min, f0_max=self.f0_max)

@@ -1,14 +1,19 @@
-"""Batched F0 / voicing extraction (YIN + pYIN-style thresholds), on device.
+"""Batched F0 / voicing extraction (YIN observations + pYIN HMM Viterbi
+smoothing), on device.
 
 Replaces the reference's librosa.pyin call (data.py:349-361), which runs
 per-utterance on CPU workers and is disk-cached because it is so slow.
 Here the whole batch is one XLA computation: FFT-based difference function,
-cumulative-mean normalization, threshold sweep for voicing probability,
-parabolic interpolation for sub-sample lag accuracy.
+cumulative-mean normalization, a pYIN threshold sweep (beta threshold prior
++ Boltzmann trough-rank prior, Mauch & Dixon 2014), and an HMM Viterbi over
+(voiced, pitch-bin) states — triangular pitch-transition band, 0.01 voicing
+switch probability — batched as a lax.scan with stored backpointers (the
+MAS kernel idiom, ops/alignment.py).
 
-This is pYIN's per-frame observation model (Mauch & Dixon 2014) without the
-HMM Viterbi smoothing — adequate for the F0-conditioning channel; unvoiced
-frames are zeroed exactly like the reference (data.py:357).
+Divergences from librosa.pyin (documented): 20 thresholds instead of 100
+and 5 pitch bins/semitone instead of 10 (adequate for the F0-conditioning
+channel at ~20-cent resolution); a single per-bin unvoiced state block as
+in librosa.
 """
 from __future__ import annotations
 
@@ -16,20 +21,18 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from radmmm_tpu.ops.stft import frame_signal
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "sampling_rate", "frame_length", "hop_length", "f0_min", "f0_max"))
-def yin_f0(audio: jax.Array, sampling_rate: int = 22050,
-           frame_length: int = 1024, hop_length: int = 256,
-           f0_min: float = 80.0, f0_max: float = 640.0):
-    """audio: (B, T) in [-1, 1]. Returns (f0, voiced_mask, p_voiced),
-    each (B, n_frames) with n_frames = 1 + T // hop_length."""
+def _cmndf(audio: jax.Array, frame_length: int, hop_length: int):
+    """Cumulative-mean-normalized difference function.
+
+    Returns (cmndf (B, F, win), rms (B, F)) with win = frame_length // 2.
+    """
     win = frame_length // 2
     frames = frame_signal(audio, frame_length, hop_length)  # (B, F, frame)
-    B, n_frames, _ = frames.shape
 
     # difference function d(tau) = sum_j (x_j - x_{j+tau})^2 for j < win
     # = e0 + e_tau - 2 * corr(tau), via rFFT cross-correlation
@@ -53,10 +56,23 @@ def yin_f0(audio: jax.Array, sampling_rate: int = 22050,
     tau = jnp.arange(1, win + 1, dtype=jnp.float32)
     cmndf = d[..., 1:] * tau / jnp.maximum(
         jnp.cumsum(d[..., 1:], axis=-1), 1e-9)             # (B, F, win)
+    rms = jnp.sqrt(jnp.mean(sq, axis=-1))
+    return cmndf, rms
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sampling_rate", "frame_length", "hop_length", "f0_min", "f0_max"))
+def yin_f0(audio: jax.Array, sampling_rate: int = 22050,
+           frame_length: int = 1024, hop_length: int = 256,
+           f0_min: float = 80.0, f0_max: float = 640.0):
+    """audio: (B, T) in [-1, 1]. Returns (f0, voiced_mask, p_voiced),
+    each (B, n_frames) with n_frames = 1 + T // hop_length."""
+    win = frame_length // 2
+    cmndf, rms = _cmndf(audio, frame_length, hop_length)
 
     lag_min = jnp.maximum(sampling_rate / f0_max, 2.0)
     lag_max = jnp.minimum(sampling_rate / f0_min, float(win - 2))
-    lags = tau
+    lags = jnp.arange(1, win + 1, dtype=jnp.float32)
     in_range = (lags >= lag_min) & (lags <= lag_max)
     cm_ranged = jnp.where(in_range, cmndf, jnp.inf)
 
@@ -75,7 +91,6 @@ def yin_f0(audio: jax.Array, sampling_rate: int = 22050,
     weights = jnp.exp(-2.0 * thresholds)   # favor strict thresholds
     p_voiced = (below * weights).sum(-1) / weights.sum()
     # silent frames are unvoiced regardless
-    rms = jnp.sqrt(jnp.mean(sq, axis=-1))
     p_voiced = jnp.where(rms > 1e-4, p_voiced, 0.0)
     voiced = p_voiced > 0.5
 
@@ -98,5 +113,161 @@ def yin_f0(audio: jax.Array, sampling_rate: int = 22050,
         jnp.abs(denom) < 1e-9, 1.0, denom), -0.5, 0.5)
     lag = (idx + 1).astype(jnp.float32) + delta
     f0 = sampling_rate / jnp.clip(lag, lag_min, lag_max)
+    f0 = jnp.where(voiced, f0, 0.0)
+    return f0, voiced.astype(jnp.float32), p_voiced
+
+
+# ---------------------------------------------------------------------------
+# pYIN: observation model + HMM Viterbi smoothing (librosa.pyin equivalent)
+# ---------------------------------------------------------------------------
+
+def _beta_pmf(x: np.ndarray, a: float, b: float) -> np.ndarray:
+    """Beta(a, b) density sampled at x, normalized to a pmf (the threshold
+    prior; librosa.pyin beta_parameters=(2, 18))."""
+    pdf = x ** (a - 1) * (1 - x) ** (b - 1)
+    return pdf / pdf.sum()
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sampling_rate", "frame_length", "hop_length", "f0_min", "f0_max",
+    "bins_per_semitone", "n_thresholds"))
+def pyin_f0(audio: jax.Array, sampling_rate: int = 22050,
+            frame_length: int = 1024, hop_length: int = 256,
+            f0_min: float = 80.0, f0_max: float = 640.0,
+            bins_per_semitone: int = 5, n_thresholds: int = 20,
+            switch_prob: float = 0.01, boltzmann: float = 2.0,
+            max_octaves_per_sec: float = 35.92):
+    """pYIN with HMM Viterbi smoothing (librosa.pyin / data.py:349-361).
+
+    audio (B, T) -> (f0, voiced_mask, p_voiced), each (B, n_frames).
+    States are (voiced?, pitch bin); pitch moves through a triangular
+    transition band (max_transition_rate octaves/sec) and voicing flips
+    with `switch_prob`, which removes octave jumps and voicing flicker that
+    per-frame YIN picks exhibit.
+    """
+    win = frame_length // 2
+    cmndf, rms = _cmndf(audio, frame_length, hop_length)
+    B, n_frames, _ = cmndf.shape
+
+    # ---- static lag / pitch-bin machinery (trace-time numpy) -------------
+    lags_np = np.arange(1, win + 1, dtype=np.float64)
+    lag_min = max(sampling_rate / f0_max, 2.0)
+    lag_max = min(sampling_rate / f0_min, float(win - 2))
+    in_range_np = (lags_np >= lag_min) & (lags_np <= lag_max)
+    n_bins = int(np.ceil(12 * bins_per_semitone
+                         * np.log2(f0_max / f0_min))) + 1
+    bin_freqs = f0_min * 2.0 ** (np.arange(n_bins)
+                                 / (12.0 * bins_per_semitone))
+    # lag tau -> nearest log-spaced bin; one-hot (win, n_bins) for MXU
+    f_of_lag = sampling_rate / lags_np
+    bin_idx = np.clip(np.round(12 * bins_per_semitone
+                               * np.log2(np.maximum(f_of_lag, 1e-6) / f0_min)
+                               ).astype(np.int64), 0, n_bins - 1)
+    assign = np.zeros((win, n_bins), np.float32)
+    assign[np.arange(win), bin_idx] = in_range_np
+    assign_j = jnp.asarray(assign)
+
+    thresholds = np.linspace(0.0, 1.0, n_thresholds + 1)[1:]
+    thr_prior = jnp.asarray(_beta_pmf(thresholds, 2.0, 18.0),
+                            jnp.float32)
+    thr_j = jnp.asarray(thresholds, jnp.float32)
+
+    # ---- per-trough observation probabilities ----------------------------
+    in_range = jnp.asarray(in_range_np)
+    cm_ranged = jnp.where(in_range, cmndf, jnp.inf)
+    left = jnp.pad(cm_ranged, ((0, 0), (0, 0), (1, 0)),
+                   constant_values=jnp.inf)[..., :-1]
+    right = jnp.pad(cm_ranged, ((0, 0), (0, 0), (0, 1)),
+                    constant_values=jnp.inf)[..., 1:]
+    is_trough = (cm_ranged <= left) & (cm_ranged < right) & in_range
+
+    # below[b,f,tau,i]: trough tau under threshold i; rank = # earlier
+    # troughs under the same threshold (Boltzmann prior prefers the first
+    # trough, i.e. the fundamental over subharmonics)
+    below = (is_trough[..., None]
+             & (cm_ranged[..., None] < thr_j[None, None, None, :]))
+    bf = below.astype(jnp.float32)
+    rank = jnp.cumsum(bf, axis=2) - bf
+    boltz = jnp.exp(-boltzmann * rank) * bf
+    norm = jnp.maximum(boltz.sum(axis=2, keepdims=True), 1e-9)
+    w = ((boltz / norm) * thr_prior[None, None, None, :]).sum(-1)  # (B,F,L)
+
+    p_any = jnp.clip(w.sum(-1), 0.0, 1.0)
+    p_voiced = jnp.where(rms > 1e-4, p_any, 0.0)
+    w = w * jnp.where(rms > 1e-4, 1.0, 0.0)[..., None]
+
+    # parabolic refinement of every lag, aggregated per pitch bin
+    pad = jnp.pad(cmndf, ((0, 0), (0, 0), (1, 1)), mode="edge")
+    y0, y1, y2 = pad[..., :-2], cmndf, pad[..., 2:]
+    denom = y0 - 2 * y1 + y2
+    delta = jnp.clip(0.5 * (y0 - y2) / jnp.where(
+        jnp.abs(denom) < 1e-9, 1.0, denom), -0.5, 0.5)
+    delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+    f_interp = sampling_rate / jnp.clip(
+        jnp.asarray(lags_np, jnp.float32) + delta, lag_min, lag_max)
+
+    obs = jnp.einsum("bfl,lk->bfk", w, assign_j)                 # (B,F,K)
+    f_num = jnp.einsum("bfl,lk->bfk", w * f_interp, assign_j)
+    f_bin = jnp.where(obs > 1e-9, f_num / jnp.maximum(obs, 1e-9),
+                      jnp.asarray(bin_freqs, jnp.float32)[None, None, :])
+
+    # ---- HMM: states = (voiced, bin) + (unvoiced, bin) -------------------
+    log_obs_v = jnp.log(obs + 1e-10)
+    log_obs_u = jnp.log(jnp.maximum((1.0 - p_any)[..., None] / n_bins,
+                                    1e-10) * jnp.ones((1, 1, n_bins)))
+    log_obs = jnp.stack([log_obs_v, log_obs_u], axis=2)          # (B,F,2,K)
+
+    width = max(1, int(round(max_octaves_per_sec * hop_length
+                             / sampling_rate * 12 * bins_per_semitone)))
+    offs = np.arange(-width, width + 1)
+    tri = (width + 1 - np.abs(offs)).astype(np.float64)
+    P = np.zeros((n_bins, n_bins))
+    for o, t in zip(offs, tri):
+        P += np.diag(np.full(n_bins - abs(o), t), k=int(o))
+    P /= P.sum(axis=1, keepdims=True)
+    log_P = jnp.asarray(np.log(P + 1e-12), jnp.float32)          # (K,K)
+    log_V = jnp.asarray(np.log(np.array(
+        [[1 - switch_prob, switch_prob],
+         [switch_prob, 1 - switch_prob]])), jnp.float32)
+
+    def step(score, obs_t):
+        # score (B,2,K); pitch move then voicing flip (separable max-plus)
+        m = score[:, :, :, None] + log_P[None, None]             # (B,2,K,K')
+        kptr = jnp.argmax(m, axis=2).astype(jnp.int32)           # (B,2,K')
+        m = jnp.max(m, axis=2)                                   # (B,2,K')
+        c = m[:, None, :, :] + log_V.T[None, :, :, None]         # (B,2',2,K')
+        vptr = jnp.argmax(c, axis=2).astype(jnp.int32)           # (B,2',K')
+        new = jnp.max(c, axis=2) + obs_t
+        # renormalize to avoid f32 drift over long files
+        new = new - jnp.max(new, axis=(1, 2), keepdims=True)
+        return new, (kptr, vptr)
+
+    init = jnp.log(jnp.full((B, 2, n_bins), 1.0 / (2 * n_bins))) \
+        + log_obs[:, 0]
+    obs_rest = jnp.moveaxis(log_obs[:, 1:], 1, 0)                # (F-1,B,2,K)
+    final, (kptrs, vptrs) = jax.lax.scan(step, init, obs_rest)
+
+    flat = final.reshape(B, -1)
+    best = jnp.argmax(flat, axis=-1)
+    v_T = best // n_bins
+    k_T = best % n_bins
+
+    def back(carry, ptrs):
+        v, k = carry
+        kptr, vptr = ptrs                                        # (B,2,K)
+        bidx = jnp.arange(B)
+        pv = vptr[bidx, v, k]
+        pk = kptr[bidx, pv, k]
+        return (pv, pk), (pv, pk)
+
+    (_, _), (vs, ks) = jax.lax.scan(back, (v_T, k_T),
+                                    (kptrs, vptrs), reverse=True)
+    v_path = jnp.concatenate([vs, v_T[None]], axis=0)            # (F,B)
+    k_path = jnp.concatenate([ks, k_T[None]], axis=0)
+    v_path = jnp.moveaxis(v_path, 0, 1)                          # (B,F)
+    k_path = jnp.moveaxis(k_path, 0, 1)
+
+    f0 = jnp.take_along_axis(f_bin, k_path[..., None], axis=-1)[..., 0]
+    voiced = (v_path == 0) & (rms > 1e-4)
     f0 = jnp.where(voiced, f0, 0.0)
     return f0, voiced.astype(jnp.float32), p_voiced

@@ -225,6 +225,7 @@ def translate_reference_data_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         betabinom_scaling_factor=init.get("betabinom_scaling_factor", 0.05),
         mel_noise_scale=init.get("mel_noise_scale", 0.0),
         distance_tx_unvoiced=bool(init.get("distance_tx_unvoiced", False)),
+        f0_method=init.get("f0_method", "pyin"),
     )
     def datasets_of(*keys):
         for k in keys:

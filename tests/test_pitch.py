@@ -45,3 +45,75 @@ def test_f0_zero_when_unvoiced(rng):
     f0 = np.asarray(f0)
     assert (f0[np.asarray(voiced) == 0] == 0).all()
     assert f0.shape[1] == 1 + sig.shape[1] // 256
+
+
+# ---------------------------------------------------------------------------
+# pYIN HMM Viterbi smoothing (librosa.pyin equivalent; VERDICT round-1 #6)
+# ---------------------------------------------------------------------------
+
+def _glide(sr=22050, dur=1.0):
+    """Gliding tone 150->300 Hz with 5 Hz vibrato + 2nd harmonic; returns
+    (wave, frame_times -> true instantaneous F0 interpolator)."""
+    t = np.arange(int(dur * sr)) / sr
+    phase = 2 * np.pi * (150 * t + 75 * t ** 2) + 0.3 * np.sin(
+        2 * np.pi * 5 * t)
+    true_f = 150 + 150 * t + 0.3 * 5 * np.cos(2 * np.pi * 5 * t)
+    wav = (0.5 * np.sin(phase) + 0.35 * np.sin(2 * phase)).astype(np.float32)
+    return wav, t, true_f
+
+
+def test_pyin_tracks_glide_with_vibrato():
+    """Median error < 25 cents against the analytic instantaneous F0 of a
+    glide+vibrato (the frozen golden is the known ground truth), and no
+    octave jumps anywhere on the voiced trajectory."""
+    from radmmm_tpu.data.pitch import pyin_f0
+    sr = 22050
+    wav, t, true_f = _glide(sr)
+    f0, v, _ = pyin_f0(jnp.asarray(wav[None]), sampling_rate=sr)
+    f0, v = np.asarray(f0)[0], np.asarray(v)[0]
+    ft = np.arange(f0.shape[0]) * 256 / sr
+    valid = (ft > 0.05) & (ft < 0.95)
+    tf = np.interp(ft, t, true_f)
+    m = valid & (v > 0)
+    assert m.mean() > 0.8
+    cents = 1200 * np.abs(np.log2(f0[m] / tf[m]))
+    assert np.median(cents) < 25, np.median(cents)
+    jumps = np.abs(np.diff(np.log2(f0[m])))
+    assert jumps.max() < 0.2, jumps.max()
+
+
+def test_pyin_removes_octave_errors_vs_yin(rng):
+    """Signal whose fundamental periodically collapses (only the 2nd
+    harmonic remains): per-frame YIN octave-jumps on >30% of frames; the
+    Viterbi-smoothed track stays on the fundamental."""
+    from radmmm_tpu.data.pitch import pyin_f0
+    sr, f = 22050, 200.0
+    t = np.arange(sr) / sr
+    a1 = np.clip(np.sin(2 * np.pi * 4 * t), 0, 1)
+    wav = (0.45 * a1 * np.sin(2 * np.pi * f * t)
+           + 0.45 * np.sin(4 * np.pi * f * t)
+           + 0.02 * rng.standard_normal(t.size)).astype(np.float32)[None]
+    ft = np.arange(1 + t.size // 256) * 256 / sr
+    valid = (ft > 0.05) & (ft < 0.95)
+
+    def octave_err_frac(fn):
+        f0, v, _ = fn(jnp.asarray(wav), sampling_rate=sr)
+        f0, v = np.asarray(f0)[0], np.asarray(v)[0]
+        m = valid & (v > 0)
+        return (np.abs(np.log2(f0[m] / f)) > 0.4).mean()
+
+    assert octave_err_frac(pyin_f0) == 0.0
+    assert octave_err_frac(yin_f0) > 0.3  # the failure mode being fixed
+
+
+def test_pyin_no_voicing_flicker():
+    """Tone + silence segments: the voiced mask must be contiguous (few
+    transitions), not flickering at segment boundaries."""
+    from radmmm_tpu.data.pitch import pyin_f0
+    sr = 22050
+    sig = np.concatenate([tone(220.0, dur=0.4), np.zeros(sr // 4, np.float32),
+                          tone(330.0, dur=0.4)])[None]
+    f0, v, _ = pyin_f0(jnp.asarray(sig), sampling_rate=sr)
+    v = np.asarray(v)[0]
+    assert np.abs(np.diff(v)).sum() <= 4  # ~2 real transitions + padding
+    assert (np.asarray(f0)[0][v == 0] == 0).all()
