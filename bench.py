@@ -1,14 +1,18 @@
-"""Benchmark: end-to-end text->audio synthesis throughput on one TPU chip.
+"""Benchmark: end-to-end text->audio synthesis + training throughput on one
+TPU chip.
 
-Flagship RADMMM configuration (8 flows, WN-1024 couplings, group size 2)
-followed by the HiFi-GAN v1 vocoder, batch 32, 800 mel frames per item
-(~9.3 s of 22.05 kHz audio at hop 256). The full pipeline — text encoding,
-duration/F0/energy/voiced prediction, flow inverse, vocoding to waveform —
-runs as one jitted program. Reports the aggregate real-time factor (seconds
-of audio synthesized per wall-clock second per chip) against the >=100x
-north star (BASELINE.md).
+Inference: flagship RADMMM configuration (8 flows, WN-1024 couplings, group
+size 2) followed by the HiFi-GAN v1 vocoder, batch 32, 800 mel frames per
+item (~9.3 s of 22.05 kHz audio at hop 256), one jitted program. Reports
+the aggregate real-time factor against the >=100x north star (BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Training: the full jitted train step (forward, all losses incl. binarized
+attention, grads, RAdam) at the reference regime — f32, batch 8 x 512 mel
+frames (RADMMM_train_config.yaml precision 32 / batch 8) — reported as
+mel-frames/sec/chip (the BASELINE.md primary metric's training half).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"train_mel_frames_per_sec_per_chip", "train_step_seconds"}.
 """
 from __future__ import annotations
 
@@ -19,11 +23,69 @@ import time
 import numpy as np
 
 
+def bench_training() -> dict:
+    """Train-step mel-frames/sec/chip, f32, B=8 x 512 frames, binarized."""
+    import jax
+    import jax.numpy as jnp
+    from radmmm_tpu.models.tts import TTSModel, default_radmmm_config
+    from radmmm_tpu.ops.conv import set_conv_precision
+    from radmmm_tpu.training.optim import build_optimizer
+    from radmmm_tpu.training.step import (LossConfig, create_train_state,
+                                          make_train_step)
+
+    set_conv_precision("f32")        # reference training regime
+    B, T_TEXT, T_MEL = 8, 96, 512
+    model = TTSModel(config=default_radmmm_config())
+    rng = np.random.default_rng(0)
+    prior = rng.uniform(0.1, 1.0, (B, T_MEL, T_TEXT)).astype(np.float32)
+    prior /= prior.sum(-1, keepdims=True)
+    batch = {
+        "text": jnp.asarray(rng.integers(0, 426, (B, T_TEXT)), jnp.int32),
+        "input_lengths": jnp.full((B,), T_TEXT, jnp.int32),
+        "mel": jnp.asarray(rng.standard_normal((B, T_MEL, 80)), jnp.float32),
+        "output_lengths": jnp.full((B,), T_MEL, jnp.int32),
+        "speaker_ids": jnp.asarray(rng.integers(0, 21, (B,)), jnp.int32),
+        "accent_ids": jnp.asarray(rng.integers(0, 7, (B,)), jnp.int32),
+        "f0": jnp.asarray(rng.uniform(4, 6, (B, T_MEL)), jnp.float32),
+        "voiced_mask": jnp.asarray(rng.integers(0, 2, (B, T_MEL)),
+                                   jnp.float32),
+        "energy_avg": jnp.asarray(rng.uniform(0, 1, (B, T_MEL)),
+                                  jnp.float32),
+        "attn_prior": jnp.asarray(prior),
+        "speaker_f0_mean": jnp.full((B,), 5.0, jnp.float32),
+        "speaker_f0_std": jnp.full((B,), 0.3, jnp.float32),
+    }
+    tx = build_optimizer("RAdam", learning_rate=1e-4, weight_decay=1e-6,
+                         grad_clip_val=1.0)
+    state = create_train_state(model, tx, batch, jax.random.key(0))
+    cfg = LossConfig(n_group_size=2, cross_covariance_weight=1.0,
+                     speaker_reg={"variance": 0.0, "covariance": 0.0})
+    step = jax.jit(make_train_step(model, cfg, tx, binarize=True,
+                                   kl_on=True))
+    key = jax.random.key(1)
+    state, metrics = step(state, batch, key)     # compile + warm
+    float(metrics["loss"])                        # force completion
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    frames_per_sec = B * T_MEL * iters / dt
+    del state, step
+    return {
+        "train_mel_frames_per_sec_per_chip": round(frames_per_sec, 1),
+        "train_step_seconds": round(dt / iters, 4),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from radmmm_tpu.models.tts import TTSModel, default_radmmm_config
     from radmmm_tpu.ops.conv import set_conv_precision
+
+    train_metrics = bench_training()
 
     # production inference setting: native bf16 MXU throughput with f32
     # accumulation (training default stays full f32 like the reference)
@@ -103,6 +165,7 @@ def main():
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 100.0, 3),
+        **train_metrics,
     }))
 
 
