@@ -69,6 +69,58 @@ def a_weights(sampling_rate: int, fft_size: int) -> np.ndarray:
                * (f ** 2 + 12194.0 ** 2)))
 
 
+def complex_stft(x: jax.Array, fft_size: int, hop_size: int,
+                 win_length: int) -> jax.Array:
+    """(B, T) -> complex (B, n_frames, fft//2+1)."""
+    win = hann_window(win_length)
+    if win_length < fft_size:
+        lpad = (fft_size - win_length) // 2
+        win = np.pad(win, (lpad, fft_size - win_length - lpad))
+    frames = frame_signal(x, fft_size, hop_size)
+    return jnp.fft.rfft(frames * jnp.asarray(win)[None, None, :],
+                        n=fft_size, axis=-1)
+
+
+class ComplexSTFTLoss:
+    """Magnitude of the complex error vector between target and predicted
+    STFTs (stft_loss.py:81-111): sum(log(sqrt(clamp(|Y - Y_hat|^2, 1e-7)))).
+    The reference squares the complex tensor directly (a torch-version
+    hazard); the stated intent — error-vector magnitude — is used here."""
+
+    def __init__(self, fft_size=1024, shift_size=120, win_length=600):
+        self.fft_size, self.shift_size = fft_size, shift_size
+        self.win_length = win_length
+
+    def __call__(self, y_hat: jax.Array, y: jax.Array) -> jax.Array:
+        Y = complex_stft(y, self.fft_size, self.shift_size, self.win_length)
+        Y_hat = complex_stft(y_hat, self.fft_size, self.shift_size,
+                             self.win_length)
+        err2 = jnp.abs(Y - Y_hat) ** 2
+        return jnp.sum(jnp.log(jnp.sqrt(jnp.maximum(err2, 1e-7))))
+
+
+class MultiResolutionComplexSTFTLoss:
+    """Averaged complex STFT loss over several resolutions
+    (stft_loss.py:316-363)."""
+
+    def __init__(self, fft_sizes: Sequence[int] = (1024, 2048, 512),
+                 hop_sizes: Sequence[int] = (120, 240, 50),
+                 win_lengths: Sequence[int] = (600, 1200, 240),
+                 sampling_rate: int = 22050):
+        assert len(fft_sizes) == len(hop_sizes) == len(win_lengths)
+        self.losses = [ComplexSTFTLoss(f, s, w)
+                       for f, s, w in zip(fft_sizes, hop_sizes, win_lengths)]
+
+    def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        if x.ndim == 3:
+            x = x.reshape(-1, x.shape[-1])
+            y = y.reshape(-1, y.shape[-1])
+        total = 0.0
+        for f in self.losses:
+            total += f(x, y)
+        return total / len(self.losses)
+
+
 class MultiResolutionSTFTLoss:
     """Averaged SC + log-mag losses over several resolutions
     (stft_loss.py:262-314)."""

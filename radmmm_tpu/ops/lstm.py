@@ -36,6 +36,19 @@ def _uniform_lstm_init(hidden: int):
     return init
 
 
+_LSTM_BACKEND = "scan"
+
+
+def set_lstm_backend(name: str) -> None:
+    """'scan' (default; in-graph lax.scan, measured equivalent on v5e) or
+    'pallas' (VMEM-resident recurrence kernel, ops/lstm_pallas.py; falls
+    back to scan off-TPU). 'pallas_interpret' forces the kernel's
+    interpreter for CPU testing."""
+    global _LSTM_BACKEND
+    assert name in ("scan", "pallas", "pallas_interpret"), name
+    _LSTM_BACKEND = name
+
+
 def lstm_scan(x: jax.Array, mask: jax.Array, wi: jax.Array, wh: jax.Array,
               bias: jax.Array, reverse: bool = False) -> jax.Array:
     """Single-direction masked LSTM. x: (B, T, C), mask: (B, T) float.
@@ -50,6 +63,20 @@ def lstm_scan(x: jax.Array, mask: jax.Array, wi: jax.Array, wh: jax.Array,
     if reverse:
         x_proj = jnp.flip(x_proj, axis=1)
         mask = jnp.flip(mask, axis=1)
+
+    if _LSTM_BACKEND != "scan":
+        from radmmm_tpu.ops.lstm_pallas import (lstm_recurrence_pallas,
+                                                pallas_available)
+        interpret = _LSTM_BACKEND == "pallas_interpret"
+        if interpret or pallas_available():
+            ys = lstm_recurrence_pallas(
+                jnp.swapaxes(x_proj, 0, 1),
+                jnp.swapaxes(mask, 0, 1).astype(x_proj.dtype), wh,
+                interpret=interpret)
+            ys = jnp.swapaxes(ys, 0, 1)
+            if reverse:
+                ys = jnp.flip(ys, axis=1)
+            return ys
 
     def step(carry, inp):
         h, c = carry

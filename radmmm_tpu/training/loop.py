@@ -357,12 +357,23 @@ class Trainer:
         self.logger.image("val/mel_gt",
                           plot_mel_to_numpy(
                               np.asarray(batch["mel"])[0, :out_len]), step)
-        if "f0_outputs" in outputs:
-            self.logger.image("val/attributes", plot_curves_to_numpy({
-                "f0_gt": np.asarray(outputs["f0_outputs"]["x"])[0, :out_len, 0],
-                "f0_pred": np.asarray(
-                    outputs["f0_outputs"]["x_hat"])[0, :out_len, 0],
-            }), step)
+        # F0 / energy / voiced gt-vs-pred curves
+        # (LogAttributeSamplesCallback, training_callbacks.py:90-210)
+        curves = {}
+        for key, name in (("f0_outputs", "f0"),
+                          ("energy_outputs", "energy"),
+                          ("voiced_outputs", "voiced")):
+            if key in outputs:
+                o = outputs[key]
+                gt = np.asarray(o["x"])[0, :out_len, 0]
+                pred = np.asarray(o["x_hat"])[0, :out_len, 0]
+                if name == "voiced":   # logits -> probability
+                    pred = 1.0 / (1.0 + np.exp(-pred))
+                curves[f"{name}_gt"] = gt
+                curves[f"{name}_pred"] = pred
+        if curves:
+            self.logger.image("val/attributes",
+                              plot_curves_to_numpy(curves), step)
         # reconstruction (analysis-synthesis) sample
         rec = self.model.apply(state.model_variables(), jax.random.key(0),
                                batch_dev,
@@ -387,9 +398,11 @@ class Trainer:
                       f"uses griffin-lim ({self.cfg.griffin_lim_iters} "
                       "iters; set trainer.griffin_lim_iters / "
                       "vocoder_checkpoint_path)")
-                gl = GriffinLimVocoder(sampling_rate=self.cfg.sampling_rate,
-                                       hop_length=self.cfg.hop_length,
-                                       n_iters=self.cfg.griffin_lim_iters)
+                gl = GriffinLimVocoder(
+                    sampling_rate=self.cfg.sampling_rate,
+                    hop_length=self.cfg.hop_length,
+                    n_mel_channels=self.model.config.n_mel_channels,
+                    n_iters=self.cfg.griffin_lim_iters)
                 voc_fn, denoiser = gl, None
                 self._vocoder_is_gl = True
             else:

@@ -96,8 +96,20 @@ class TrainLogger:
         peak = np.abs(wav).max()
         if peak > 1.0:
             wav = wav / peak
-        self.writer.add_audio(tag, wav[None, :], step,
-                              sample_rate=sampling_rate)
+        # encode the wav with scipy instead of tensorboardX's add_audio,
+        # whose soundfile dependency is not available in this environment
+        import io
+        from scipy.io import wavfile as _wavfile
+        from tensorboardX.proto.summary_pb2 import Summary
+        buf = io.BytesIO()
+        _wavfile.write(buf, sampling_rate,
+                       (np.clip(wav, -1, 1) * 32767).astype(np.int16))
+        audio = Summary.Audio(sample_rate=sampling_rate, num_channels=1,
+                              length_frames=wav.size,
+                              encoded_audio_string=buf.getvalue(),
+                              content_type="audio/wav")
+        self.writer._get_file_writer().add_summary(
+            Summary(value=[Summary.Value(tag=tag, audio=audio)]), step)
 
     def flush(self):
         if self.writer is not None:

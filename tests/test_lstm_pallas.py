@@ -39,3 +39,29 @@ def test_pallas_lstm_chunk_padding(rng):
         chunk=10, interpret=True))
     np.testing.assert_allclose(a, b, atol=1e-6)
     assert a.shape == (T, B, H)
+
+
+def test_lstm_backend_flag_dispatch(rng):
+    """set_lstm_backend('pallas_interpret') routes MaskedLSTM through the
+    Pallas recurrence kernel with identical outputs (product integration of
+    the kernel, not a shelf test)."""
+    from radmmm_tpu.ops.lstm import set_lstm_backend, lstm_scan
+    B, T, C, H = 2, 12, 6, 8
+    x = (rng.standard_normal((B, T, C)) * 0.3).astype(np.float32)
+    mask = np.ones((B, T), np.float32)
+    mask[1, 9:] = 0
+    wi = (rng.standard_normal((C, 4 * H)) * 0.2).astype(np.float32)
+    wh = (rng.standard_normal((H, 4 * H)) * 0.2).astype(np.float32)
+    b = np.zeros((4 * H,), np.float32)
+    args = (jnp.asarray(x), jnp.asarray(mask), jnp.asarray(wi),
+            jnp.asarray(wh), jnp.asarray(b))
+    want = np.asarray(lstm_scan(*args))
+    try:
+        set_lstm_backend("pallas_interpret")
+        got = np.asarray(lstm_scan(*args))
+        got_rev = np.asarray(lstm_scan(*args, reverse=True))
+    finally:
+        set_lstm_backend("scan")
+    want_rev = np.asarray(lstm_scan(*args, reverse=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    np.testing.assert_allclose(got_rev, want_rev, atol=1e-5)

@@ -44,3 +44,20 @@ def test_multires_loss_runs_masked(rng):
     assert 0 < float(mag)
     sc2, mag2 = loss_fn(jnp.asarray(x), jnp.asarray(y))
     assert np.isfinite(float(sc2)) and np.isfinite(float(mag2))
+
+
+def test_complex_mrstft_loss(rng):
+    """Complex error-vector variant (stft_loss.py:316-363): identical
+    signals floor the loss; divergence increases it monotonically; grads
+    are finite."""
+    import jax
+    from radmmm_tpu.losses.stft_loss import MultiResolutionComplexSTFTLoss
+    loss_fn = MultiResolutionComplexSTFTLoss()
+    y = (rng.standard_normal((2, 4096)) * 0.3).astype(np.float32)
+    n = (rng.standard_normal((2, 4096)) * 0.3).astype(np.float32)
+    base = float(loss_fn(jnp.asarray(y), jnp.asarray(y)))
+    small = float(loss_fn(jnp.asarray(y + 0.01 * n), jnp.asarray(y)))
+    big = float(loss_fn(jnp.asarray(y + 0.3 * n), jnp.asarray(y)))
+    assert base < small < big
+    g = jax.grad(lambda x: loss_fn(x, jnp.asarray(y)))(jnp.asarray(y + n))
+    assert np.isfinite(np.asarray(g)).all()
