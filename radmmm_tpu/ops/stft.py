@@ -178,7 +178,10 @@ class MelSpectrogram:
         (audio_processing.py:257-286).
         """
         n_fft, hop = self.filter_length, self.hop_length
-        spec = magnitude * jnp.exp(1j * phase)
+        # mag·e^{iφ} via explicit (re, im): complex exp is unimplemented on
+        # some TPU runtimes; cos/sin + lax.complex lowers everywhere
+        spec = jax.lax.complex(magnitude * jnp.cos(phase),
+                               magnitude * jnp.sin(phase))
         frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)     # (B, F, n_fft)
         frames = frames * self.window[None, None, :]
         B, n_frames_, _ = frames.shape
@@ -208,5 +211,6 @@ def griffin_lim(mel_or_mag: jax.Array, stft: "MelSpectrogram", rng,
     signal = stft.istft(mel_or_mag, phase)
     for _ in range(n_iters):
         spec = stft.stft(signal)
-        signal = stft.istft(mel_or_mag, jnp.angle(spec))
+        phase = jnp.arctan2(spec.imag, spec.real)
+        signal = stft.istft(mel_or_mag, phase)
     return signal

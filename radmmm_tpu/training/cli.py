@@ -44,7 +44,7 @@ def build_all(cfg: dict):
     devices = trainer_section.get("devices")
     n_data = trainer_section.get(
         "n_data", devices if isinstance(devices, int) else None)
-    trainer_cfg = TrainerConfig(
+    kwargs = dict(
         n_data=n_data,
         n_model=trainer_section.get("n_model", 1),
         griffin_lim_iters=trainer_section.get("griffin_lim_iters", 30),
@@ -70,6 +70,14 @@ def build_all(cfg: dict):
         prediction_output_dir=run["prediction_output_dir"],
         predict_mode=run["predict_mode"],
     )
+    # any other trainer key naming a TrainerConfig field passes through
+    # (profile_dir, detect_anomaly, save_val_artifacts, val_prompts_path,
+    # log_interval, sigma_infer, max_infer_frames, ...)
+    import dataclasses as _dc
+    field_names = {f.name for f in _dc.fields(TrainerConfig)}
+    kwargs.update({k: v for k, v in trainer_section.items()
+                   if k in field_names and k not in kwargs})
+    trainer_cfg = TrainerConfig(**kwargs)
     return dm, Trainer(tts_cfg, loss_cfg, trainer_cfg)
 
 

@@ -81,6 +81,9 @@ class TrainerConfig:
     profile_n_steps: int = 5
     detect_anomaly: bool = False          # raise on non-finite loss
     save_code_snapshot: bool = True       # tar *.py on fit start
+    # also write every validation image/audio as files under
+    # <output_directory>/val_artifacts/step_N/ (in addition to TB)
+    save_val_artifacts: bool = False
 
 
 class Trainer:
@@ -94,7 +97,10 @@ class Trainer:
                            else "f32")
         os.makedirs(self.cfg.output_directory, exist_ok=True)
         self.logger = TrainLogger(
-            os.path.join(self.cfg.output_directory, "tb"))
+            os.path.join(self.cfg.output_directory, "tb"),
+            artifact_dir=(os.path.join(self.cfg.output_directory,
+                                       "val_artifacts")
+                          if self.cfg.save_val_artifacts else None))
         self.ckpt = CheckpointManager(
             os.path.join(self.cfg.output_directory, "ckpt"),
             max_to_keep=self.cfg.max_to_keep)

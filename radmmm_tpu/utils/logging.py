@@ -67,29 +67,63 @@ def plot_curves_to_numpy(curves: Dict[str, np.ndarray]) -> np.ndarray:
 
 
 class TrainLogger:
-    """Scalar/image/audio logging; no-op when tensorboardX is absent."""
+    """Scalar/image/audio logging.
 
-    def __init__(self, log_dir: str):
+    Scalars are double-written: to TensorBoard (when tensorboardX is
+    present) and always to a plain ``metrics.jsonl`` in the log dir —
+    one ``{"step": N, "prefix/key": v, ...}`` object per ``scalars()``
+    call — so curves are machine-readable without a TB event parser.
+    """
+
+    def __init__(self, log_dir: str, artifact_dir: Optional[str] = None):
         os.makedirs(log_dir, exist_ok=True)
         self.writer = (SummaryWriter(log_dir)
                        if SummaryWriter is not None else None)
+        self._jsonl_path = os.path.join(log_dir, "metrics.jsonl")
+        # optional file sink: every image/audio also lands as a real file
+        # under artifact_dir/step_N/ (TB's workflow, greppable on disk)
+        self.artifact_dir = artifact_dir
+
+    def _artifact_path(self, tag: str, step: int, ext: str) -> Optional[str]:
+        if self.artifact_dir is None:
+            return None
+        d = os.path.join(self.artifact_dir, f"step_{step:07d}")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, tag.replace("/", "_") + ext)
 
     def scalars(self, prefix: str, metrics: Dict[str, float], step: int):
-        if self.writer is None:
-            return
+        import json
+        row = {"step": int(step)}
         for k, v in metrics.items():
             try:
-                self.writer.add_scalar(f"{prefix}/{k}", float(v), step)
+                row[f"{prefix}/{k}"] = float(v)
             except (TypeError, ValueError):
-                pass
+                continue
+            if self.writer is not None:
+                self.writer.add_scalar(f"{prefix}/{k}", float(v), step)
+        with open(self._jsonl_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
 
     def image(self, tag: str, img_hwc: np.ndarray, step: int):
+        path = self._artifact_path(tag, step, ".png")
+        if path is not None:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            plt.imsave(path, np.asarray(img_hwc))
         if self.writer is None:
             return
         self.writer.add_image(tag, img_hwc, step, dataformats="HWC")
 
     def audio(self, tag: str, wav: np.ndarray, step: int,
               sampling_rate: int = 22050):
+        path = self._artifact_path(tag, step, ".wav")
+        if path is not None:
+            from scipy.io import wavfile as _wf
+            w = np.asarray(wav, np.float32)
+            peak = max(1.0, np.abs(w).max())
+            _wf.write(path, sampling_rate,
+                      (np.clip(w / peak, -1, 1) * 32767).astype(np.int16))
         if self.writer is None:
             return
         wav = np.asarray(wav, np.float32)

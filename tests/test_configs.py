@@ -195,3 +195,42 @@ def test_16khz_recipe_smoke_fit(corpus16k, tmp_path, monkeypatch):
     assert int(state.step) >= 3
     # combined speaker-emotion ids with augmentation expansion survive
     assert set(dm.trainset.speaker_ids) == {"spk_a-other", "spk_b-other"}
+
+
+def test_train_logger_jsonl_and_file_artifacts(tmp_path):
+    """Scalars always land in metrics.jsonl; image/audio land as files when
+    an artifact_dir is set (the TB-less observability path)."""
+    import json
+    import numpy as np
+    from radmmm_tpu.utils.logging import TrainLogger
+
+    lg = TrainLogger(str(tmp_path / "tb"), artifact_dir=str(tmp_path / "art"))
+    lg.scalars("train", {"loss": 1.5, "bad": "nan-string"}, 3)
+    lg.image("val/attn_hard", np.zeros((4, 4, 3), np.uint8), 7)
+    lg.audio("val/rec", 0.1 * np.ones(256, np.float32), 7, 22050)
+
+    rows = [json.loads(l) for l in
+            open(tmp_path / "tb" / "metrics.jsonl")]
+    assert rows == [{"step": 3, "train/loss": 1.5}]
+    assert (tmp_path / "art" / "step_0000007" / "val_attn_hard.png").exists()
+    wav_path = tmp_path / "art" / "step_0000007" / "val_rec.wav"
+    from scipy.io import wavfile
+    sr, wav = wavfile.read(wav_path)
+    assert sr == 22050 and wav.size == 256
+
+
+def test_trainer_config_passthrough(tmp_path, monkeypatch):
+    """Non-explicit TrainerConfig fields in the trainer: section reach the
+    Trainer (save_val_artifacts, detect_anomaly, log_interval, ...)."""
+    monkeypatch.chdir(ROOT)
+    cfg = load_configs(TRACKED["vani_limmits_16khz"])
+    cfg.setdefault("model", {})["output_directory"] = str(tmp_path)
+    cfg.setdefault("trainer", {}).update(
+        save_val_artifacts=True, detect_anomaly=True, log_interval=5,
+        max_infer_frames=256)
+    dm, trainer = build_all(cfg)
+    assert trainer.cfg.save_val_artifacts is True
+    assert trainer.cfg.detect_anomaly is True
+    assert trainer.cfg.log_interval == 5
+    assert trainer.cfg.max_infer_frames == 256
+    assert trainer.logger.artifact_dir is not None
