@@ -29,11 +29,16 @@ def round_up(n: int, multiple: int) -> int:
 
 def collate_host(items: Sequence[Optional[Dict[str, Any]]],
                  hop_length: int = 256, audio_frames_multiple: int = 64,
-                 text_multiple: int = 16) -> Optional[Dict[str, np.ndarray]]:
+                 text_multiple: int = 16,
+                 pad_to: Optional[tuple] = None
+                 ) -> Optional[Dict[str, np.ndarray]]:
     """Pad a list of dataset items into bucketed numpy arrays.
 
     None items (broken audio) are dropped, as in the reference
-    (data.py:624).
+    (data.py:624). ``pad_to=(mel_frames, text_tokens)`` pins the padded
+    shape (multi-host: every process must produce the same global batch
+    shape — the loader schedules shapes from filelist metadata); items
+    exceeding it are clipped to the scheduled bucket.
     """
     items = [x for x in items if x is not None]
     if not items:
@@ -42,18 +47,24 @@ def collate_host(items: Sequence[Optional[Dict[str, Any]]],
     audio_lens = np.array([len(x["audio"]) for x in items], np.int32)
     text_lens = np.array([len(x["text_encoded"]) for x in items], np.int32)
 
-    # bucket: pad audio so mel frames land on a multiple of
-    # audio_frames_multiple (mel frames = 1 + T // hop)
-    max_frames = round_up(1 + int(audio_lens.max()) // hop_length,
-                          audio_frames_multiple)
-    T_audio = max_frames * hop_length
-    T_text = round_up(int(text_lens.max()), text_multiple)
+    if pad_to is not None:
+        max_frames, T_text = int(pad_to[0]), int(pad_to[1])
+        T_audio = max_frames * hop_length
+        audio_lens = np.minimum(audio_lens, T_audio)
+        text_lens = np.minimum(text_lens, T_text)
+    else:
+        # bucket: pad audio so mel frames land on a multiple of
+        # audio_frames_multiple (mel frames = 1 + T // hop)
+        max_frames = round_up(1 + int(audio_lens.max()) // hop_length,
+                              audio_frames_multiple)
+        T_audio = max_frames * hop_length
+        T_text = round_up(int(text_lens.max()), text_multiple)
 
     audio = np.zeros((B, T_audio), np.float32)
     text = np.zeros((B, T_text), np.int32)
     for i, x in enumerate(items):
-        audio[i, :audio_lens[i]] = x["audio"][:T_audio]
-        text[i, :text_lens[i]] = x["text_encoded"]
+        audio[i, :audio_lens[i]] = x["audio"][:audio_lens[i]]
+        text[i, :text_lens[i]] = x["text_encoded"][:text_lens[i]]
 
     return {
         "audio": audio,

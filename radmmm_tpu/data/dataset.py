@@ -153,6 +153,14 @@ class AudioDataset:
                 wave_aug_config)
         self.speaker_stats = load_speaker_stats(speaker_stats_path)
 
+    def encoded_text_length(self, index: int) -> int:
+        """Token count of item ``index``'s encoded text, without touching
+        audio. Used by the multi-host loader to schedule padded shapes
+        (encode_text is deterministic, so this matches __getitem__)."""
+        item = self.data[index]
+        return len(self.tp.encode_text(item.text, language=item.language,
+                                       is_phonemized=item.phonemized))
+
     def __len__(self):
         return len(self.data)
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import queue
 import threading
+
+import numpy as np
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterable, Optional
 
@@ -41,22 +43,72 @@ class DataLoader:
         self.process_count = max(1, process_count)
         lengths = [u.duration for u in dataset.data]
         self.batcher = BucketBatcher(lengths, batch_size, shuffle, seed)
+        if self.process_count > 1:
+            # multi-host: every process must contribute a same-shaped local
+            # batch to each global step (jax.make_array_from_process_local_
+            # data requires it), so shapes are scheduled host-side from
+            # filelist metadata: mel frames from durations, text tokens
+            # from a one-time encode pass (deterministic).
+            sr = getattr(dataset, "sampling_rate", 22050)
+            self._sched_frames = np.array(
+                [1 + int(np.ceil(u.duration * sr)) // self.hop_length
+                 for u in dataset.data], np.int64)
+            self._sched_text = np.array(
+                [dataset.encoded_text_length(i)
+                 for i in range(len(dataset.data))], np.int64)
+            self._warned_drop = False
 
     def __len__(self):
         return len(self.batcher) // self.process_count
 
-    def _my_batches(self):
-        n_use = (len(self.batcher) // self.process_count) \
-            * self.process_count
-        for i, indices in enumerate(self.batcher):
-            if i >= n_use:
-                break
-            if i % self.process_count == self.process_index:
-                yield indices
+    def _shape_key(self, indices):
+        from radmmm_tpu.data.collate import round_up
+        frames = round_up(int(self._sched_frames[indices].max()), 64)
+        text = round_up(int(self._sched_text[indices].max()), 16)
+        return (len(indices), frames, text)
 
-    def _load_batch(self, pool, indices):
+    def _my_batches(self):
+        """Yield (indices, pad_to) for this process.
+
+        Single-process: every batch, natural bucket shapes. Multi-host:
+        batches are grouped by scheduled (B, frames, text) shape and dealt
+        to processes in rounds within each group, so all processes run the
+        same number of steps with agreeing global shapes; leftover batches
+        that can't fill a round are dropped (DDP drop_last semantics).
+        """
+        if self.process_count == 1:
+            for indices in self.batcher:
+                yield indices, None
+            return
+        pending: dict = {}
+        dropped = 0
+        for indices in self.batcher:
+            indices = np.asarray(indices)
+            key = self._shape_key(indices)
+            group = pending.setdefault(key, [])
+            group.append(indices)
+            if len(group) == self.process_count:
+                yield list(map(int, group[self.process_index])), key[1:]
+                pending[key] = []
+        dropped = sum(len(g) for g in pending.values())
+        if dropped and not self._warned_drop and self.process_index == 0:
+            self._warned_drop = True
+            print(f"DataLoader: dropped {dropped} tail batch(es)/epoch that "
+                  f"couldn't fill a {self.process_count}-process round "
+                  f"(shape-grouped multi-host scheduling)")
+
+    def _load_batch(self, pool, indices, pad_to=None):
         items = list(pool.map(self.dataset.__getitem__, indices))
-        host = collate_host(items, hop_length=self.hop_length)
+        if pad_to is not None:
+            # multi-host: B must stay uniform across processes — backfill
+            # broken (None) items with a repeat instead of dropping
+            good = [x for x in items if x is not None]
+            if not good:
+                raise RuntimeError(
+                    f"all items broken in batch {list(indices)}")
+            items = [x if x is not None else good[0] for x in items]
+        host = collate_host(items, hop_length=self.hop_length,
+                            pad_to=pad_to)
         if host is None:
             return None
         if self.drop_last and len(host["idx"]) < self.batch_size:
@@ -70,8 +122,8 @@ class DataLoader:
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_threads) as pool:
-                    for indices in self._my_batches():
-                        q.put(self._load_batch(pool, indices))
+                    for indices, pad_to in self._my_batches():
+                        q.put(self._load_batch(pool, indices, pad_to))
             except BaseException as e:  # propagate into the consumer
                 q.put(e)
             finally:

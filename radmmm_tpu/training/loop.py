@@ -100,7 +100,8 @@ class Trainer:
             os.path.join(self.cfg.output_directory, "tb"),
             artifact_dir=(os.path.join(self.cfg.output_directory,
                                        "val_artifacts")
-                          if self.cfg.save_val_artifacts else None))
+                          if self.cfg.save_val_artifacts else None),
+            enabled=jax.process_index() == 0)
         self.ckpt = CheckpointManager(
             os.path.join(self.cfg.output_directory, "ckpt"),
             max_to_keep=self.cfg.max_to_keep)
@@ -202,7 +203,7 @@ class Trainer:
 
     def fit(self, dm, resume: bool = True):
         dm.setup("fit")
-        if self.cfg.save_code_snapshot:
+        if self.cfg.save_code_snapshot and jax.process_index() == 0:
             self.save_current_code()
         self.mesh = self._make_mesh()
         mesh_ctx = (jax.set_mesh(self.mesh) if self.mesh is not None
@@ -320,7 +321,8 @@ class Trainer:
         tod = TextOnlyData(self.cfg.val_prompts_path, dm.tp,
                            dm.trainset.speaker_ids, dm.trainset.accent_ids)
         items = [tod[i] for i in range(min(len(tod), max_prompts))]
-        if not items or self.model.duration_predictor is None:
+        # config check: flax submodules aren't attributes outside apply()
+        if not items or self.model.config.duration_predictor is None:
             return
         batch = self._predict_batch(items)
         out = self.model.apply(
@@ -344,7 +346,14 @@ class Trainer:
     def _log_val_samples(self, state: TrainState, batch, step: int):
         """Attention images + reconstruction audio
         (LogDecoderSamplesCallback, training_callbacks.py:36-210)."""
-        batch_dev = self._put_batch(batch, train=False)
+        if self.mesh is not None:
+            # replicate the sample batch: outputs stay fully addressable on
+            # every process, so the host-side plotting below works on
+            # multi-host too (the metrics val path stays batch-sharded)
+            batch_dev = jax.device_put(device_batch(batch),
+                                       pmesh.replicated(self.mesh))
+        else:
+            batch_dev = self._put_batch(batch, train=False)
         if batch_dev is None:
             return
         outputs = self.model.apply(state.model_variables(), batch_dev,
@@ -456,6 +465,8 @@ class Trainer:
         lens = np.asarray(out["lens"].lengths)
         hop = self.cfg.hop_length
         paths = []
+        if jax.process_index() != 0:     # rank-0 writes on multi-host
+            return paths
         for i, item in enumerate(items):
             wav = np.asarray(audio)[i][: lens[i] * hop]
             path = os.path.join(
@@ -492,6 +503,8 @@ class Trainer:
                                    method=TTSModel.reconstruct)
             audio = self._vocode(rec["mel"])
             lens = np.asarray(rec["lens"].lengths)
+            if jax.process_index() != 0:
+                continue
             for i in range(len(lens)):
                 wav = np.asarray(audio)[i][: lens[i] * hop]
                 path = os.path.join(

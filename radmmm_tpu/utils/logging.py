@@ -75,7 +75,17 @@ class TrainLogger:
     call — so curves are machine-readable without a TB event parser.
     """
 
-    def __init__(self, log_dir: str, artifact_dir: Optional[str] = None):
+    def __init__(self, log_dir: str, artifact_dir: Optional[str] = None,
+                 enabled: bool = True):
+        # multi-host: only process 0 writes (the reference's global_rank==0
+        # guards, tts_lightning_modules.py:202); compute still runs on every
+        # process, only the host-side sinks are gated
+        self.enabled = enabled
+        if not enabled:
+            self.writer = None
+            self.artifact_dir = None
+            self._jsonl_path = None
+            return
         os.makedirs(log_dir, exist_ok=True)
         self.writer = (SummaryWriter(log_dir)
                        if SummaryWriter is not None else None)
@@ -92,6 +102,8 @@ class TrainLogger:
         return os.path.join(d, tag.replace("/", "_") + ext)
 
     def scalars(self, prefix: str, metrics: Dict[str, float], step: int):
+        if not self.enabled:
+            return
         import json
         row = {"step": int(step)}
         for k, v in metrics.items():
@@ -105,6 +117,8 @@ class TrainLogger:
             f.write(json.dumps(row) + "\n")
 
     def image(self, tag: str, img_hwc: np.ndarray, step: int):
+        if not self.enabled:
+            return
         path = self._artifact_path(tag, step, ".png")
         if path is not None:
             import matplotlib
@@ -117,6 +131,8 @@ class TrainLogger:
 
     def audio(self, tag: str, wav: np.ndarray, step: int,
               sampling_rate: int = 22050):
+        if not self.enabled:
+            return
         path = self._artifact_path(tag, step, ".wav")
         if path is not None:
             from scipy.io import wavfile as _wf

@@ -164,6 +164,8 @@ def main():
     ap.add_argument("--n-train", type=int, default=48)
     ap.add_argument("--n-val", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="minimal model config (fast compile, for tests)")
     args = ap.parse_args()
 
     from scipy.io import wavfile
@@ -222,25 +224,30 @@ def main():
     with open(os.path.join(root, "prompts.json"), "w") as f:
         json.dump(prompts, f, indent=1)
 
-    _write_configs(root)
+    _write_configs(root, tiny=args.tiny)
     n_sec = sum(float(r.split("|")[-1]) for v in rows.values() for r in v)
     print(f"corpus: {n_total} utts ({n_sec:.1f}s) in {root}")
     print(f"fit: python -m radmmm_tpu fit -c {root}/model.yaml "
           f"-c {root}/data.yaml")
 
 
-def _write_configs(root: str):
-    """Reference-format model/data yamls sized to overfit this corpus."""
+def _write_configs(root: str, tiny: bool = False):
+    """Reference-format model/data yamls sized to overfit this corpus.
+
+    ``tiny`` writes a minimal model (2 flows, 8-wide DAPs) for fast-compile
+    CI-style runs (e.g. the multi-host test).
+    """
     import yaml
+    n_text = 16 if tiny else 64
     dap = dict(n_speaker_dim=8, n_accent_dim=4, use_accent_embedding=True,
-               in_dim=68, out_dim=1, reduction_factor=4,
-               n_backbone_layers=2, n_hidden=64, kernel_size=3,
-               p_dropout=0.25, lstm_type="bilstm")
+               in_dim=n_text + 4, out_dim=1, reduction_factor=2 if tiny else 4,
+               n_backbone_layers=1 if tiny else 2, n_hidden=8 if tiny else 64,
+               kernel_size=3, p_dropout=0.25, lstm_type="bilstm")
     model_cfg = {
         "model": {
             "use_accent": True, "n_augmentations": 0,
             "n_speakers": 2, "n_accents": 1,
-            "n_speaker_dim": 8, "n_accent_dim": 4, "n_text_dim": 64,
+            "n_speaker_dim": 8, "n_accent_dim": 4, "n_text_dim": n_text,
             "use_accent_emb_for_encoder": True,
             "use_speaker_emb_for_alignment": True,
             "n_mel_channels": 80,
@@ -248,10 +255,11 @@ def _write_configs(root: str):
                 "class_path": "decoders.RADMMMFlow",
                 "init_args": {
                     "use_accent": True, "n_accent_dim": 4,
-                    "n_speaker_dim": 8, "n_text_dim": 68,
+                    "n_speaker_dim": 8, "n_text_dim": n_text + 4,
                     "use_context_lstm": True, "n_f0_dims": 1,
                     "n_energy_avg_dims": 1, "n_mel_channels": 80,
-                    "n_flows": 6, "n_conv_layers_per_step": 3,
+                    "n_flows": 2 if tiny else 6,
+                    "n_conv_layers_per_step": 1 if tiny else 3,
                     "n_early_size": 2, "n_early_every": 2,
                     "n_group_size": 2, "affine_model": "wavenet",
                     "scaling_fn": "tanh", "use_partial_padding": True,

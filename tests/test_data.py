@@ -240,3 +240,37 @@ def test_dense_layer(rng):
     out = mod.apply(v, x)
     assert out.shape == (3, 4)
     assert (np.abs(np.asarray(out)) <= 1.0).all()  # tanh range
+
+
+def test_multihost_shape_grouped_scheduling():
+    """With heterogeneous lengths, every multi-host round deals all
+    processes batches with the SAME scheduled (B, frames, text) shape —
+    the make_array_from_process_local_data requirement — and drops tail
+    batches that can't fill a round."""
+    from types import SimpleNamespace
+
+    class StubDS:
+        sampling_rate = 22050
+
+        def __init__(self, durs, tlens):
+            self.data = [SimpleNamespace(duration=d) for d in durs]
+            self._tlens = tlens
+
+        def encoded_text_length(self, i):
+            return self._tlens[i]
+
+    durs = [1.0] * 8 + [1.1] * 4 + [5.0] * 8
+    tlens = [10] * 8 + [12] * 4 + [40] * 8
+    scheds = []
+    for p in range(2):
+        loader = DataLoader(StubDS(durs, tlens), batch_size=4,
+                            shuffle=False, featurizer=None, num_threads=1,
+                            process_index=p, process_count=2)
+        scheds.append(list(loader._my_batches()))
+    assert len(scheds[0]) == len(scheds[1]) == 2
+    for (i0, s0), (i1, s1) in zip(*scheds):
+        assert s0 == s1                       # agreeing global shape
+        assert not set(i0) & set(i1)          # disjoint data
+    # short utterances land in the 128-frame bucket, long in 448
+    assert scheds[0][0][1] == (128, 16)
+    assert scheds[0][1][1] == (448, 48)
