@@ -44,10 +44,11 @@ def _style(ax, title, xlabel="step"):
 
 
 def _phase_marks(ax, marks):
-    for step, label in marks:
+    lo, hi = ax.get_ylim()
+    for n, (step, label) in enumerate(marks):
         ax.axvline(step, color=MUTED, linestyle="--", linewidth=0.8,
                    alpha=0.6)
-        ax.text(step, ax.get_ylim()[1], f" {label}", color=MUTED,
+        ax.text(step, hi - n * 0.09 * (hi - lo), f" {label}", color=MUTED,
                 fontsize=7, va="top")
 
 
