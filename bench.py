@@ -23,8 +23,14 @@ import time
 import numpy as np
 
 
-def bench_training() -> dict:
-    """Train-step mel-frames/sec/chip, f32, B=8 x 512 frames, binarized."""
+def bench_training(precision: str = "f32", prefix: str = "train") -> dict:
+    """Train-step mel-frames/sec/chip, B=8 x 512 frames, binarized.
+
+    precision 'f32' is the reference training regime
+    (RADMMM_train_config.yaml precision 32); 'bf16' is the TPU-native
+    regime (bf16 MXU matmuls, f32 accumulation/params/optimizer —
+    demonstrated loss-parity on the overfit demo, examples/demo_run/).
+    """
     import jax
     import jax.numpy as jnp
     from radmmm_tpu.models.tts import TTSModel, default_radmmm_config
@@ -33,7 +39,7 @@ def bench_training() -> dict:
     from radmmm_tpu.training.step import (LossConfig, create_train_state,
                                           make_train_step)
 
-    set_conv_precision("f32")        # reference training regime
+    set_conv_precision(precision)
     B, T_TEXT, T_MEL = 8, 96, 512
     model = TTSModel(config=default_radmmm_config())
     rng = np.random.default_rng(0)
@@ -74,8 +80,8 @@ def bench_training() -> dict:
     frames_per_sec = B * T_MEL * iters / dt
     del state, step
     return {
-        "train_mel_frames_per_sec_per_chip": round(frames_per_sec, 1),
-        "train_step_seconds": round(dt / iters, 4),
+        f"{prefix}_mel_frames_per_sec_per_chip": round(frames_per_sec, 1),
+        f"{prefix}_step_seconds": round(dt / iters, 4),
     }
 
 
@@ -85,7 +91,8 @@ def main():
     from radmmm_tpu.models.tts import TTSModel, default_radmmm_config
     from radmmm_tpu.ops.conv import set_conv_precision
 
-    train_metrics = bench_training()
+    train_metrics = bench_training("f32", "train")
+    train_metrics.update(bench_training("bf16", "train_bf16"))
 
     # production inference setting: native bf16 MXU throughput with f32
     # accumulation (training default stays full f32 like the reference)
