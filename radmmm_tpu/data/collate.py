@@ -181,6 +181,10 @@ class Featurizer:
             prior = jnp.ones((audio.shape[0], mel.shape[1], max_text))
         return mel, mel_lens, f0, voiced, p_voiced, energy, prior
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def _dequantize(self, audio_i16):
+        return audio_i16.astype(jnp.float32) / 32768.0
+
     def __call__(self, host_batch: Dict[str, Any]) -> Dict[str, Any]:
         """host collate dict -> full train-step batch (device arrays)."""
         if self.mel_noise_scale > 0:
@@ -191,13 +195,22 @@ class Featurizer:
             if not hasattr(self, "_null_key"):
                 self._null_key = jax.random.key(self.seed)
             noise_key = self._null_key
+        # ship audio to the device ONCE, as int16: wav sources are int16 so
+        # the /32768 round-trip is exact (augmented audio re-quantizes at
+        # -90 dB), and host->device bytes drop 4x vs uploading f32 here and
+        # again in the batch dict below
+        audio_np = host_batch["audio"]
+        audio_i16 = np.clip(np.rint(audio_np * 32768.0),
+                            -32768, 32767).astype(np.int16)
+        audio_dev = self._dequantize(jnp.asarray(audio_i16))
         mel, mel_lens, f0, voiced, p_voiced, energy, prior = self._featurize(
-            jnp.asarray(host_batch["audio"]),
+            audio_dev,
             jnp.asarray(host_batch["audio_lengths"]),
             jnp.asarray(host_batch["input_lengths"]),
             int(host_batch["text"].shape[1]), noise_key)
         batch = {k: jnp.asarray(v) for k, v in host_batch.items()
-                 if isinstance(v, np.ndarray)}
+                 if isinstance(v, np.ndarray) and k != "audio"}
+        batch["audio"] = audio_dev
         batch.update(mel=mel, output_lengths=mel_lens, f0=f0,
                      voiced_mask=voiced, p_voiced=p_voiced,
                      energy_avg=energy, attn_prior=prior)
