@@ -66,8 +66,10 @@ def bench_training(precision: str = "f32", prefix: str = "train") -> dict:
     state = create_train_state(model, tx, batch, jax.random.key(0))
     cfg = LossConfig(n_group_size=2, cross_covariance_weight=1.0,
                      speaker_reg={"variance": 0.0, "covariance": 0.0})
+    # donate the state like the product Trainer does (training/loop.py):
+    # params/opt-state buffers are reused in place instead of copied
     step = jax.jit(make_train_step(model, cfg, tx, binarize=True,
-                                   kl_on=True))
+                                   kl_on=True), donate_argnums=0)
     key = jax.random.key(1)
     state, metrics = step(state, batch, key)     # compile + warm
     float(metrics["loss"])                        # force completion

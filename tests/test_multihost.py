@@ -66,30 +66,37 @@ def test_two_process_ddp_fit(tmp_path):
          str(corpus), "--n-train", "24", "--n-val", "2", "--tiny"],
         check=True, cwd=ROOT, env={**os.environ, "JAX_PLATFORMS": ""})
 
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
-    outdir = str(tmp_path / "run")
-    script = tmp_path / "child.py"
-    script.write_text(CHILD.format(
-        root=ROOT, port=port, model_yaml=str(corpus / "model.yaml"),
-        data_yaml=str(corpus / "data.yaml"), outdir=outdir))
-
     env = {**os.environ,
            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
            "JAX_PLATFORMS": "cpu",
            "JAX_COMPILATION_CACHE_DIR":
                os.environ.get("JAX_COMPILATION_CACHE_DIR",
                               "/root/.jax_test_cache")}
-    procs = [subprocess.Popen([sys.executable, str(script), str(i)],
-                              env=env, cwd=ROOT,
-                              stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT)
-             for i in range(2)]
-    outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, o[-4000:]
+
+    # one retry with a fresh port + run dir: coordination-service handshakes
+    # are sensitive to extreme host load (single-core CI boxes running the
+    # whole suite); a genuine correctness regression fails both attempts
+    outdir = None
+    for attempt in range(2):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        outdir = str(tmp_path / f"run{attempt}")
+        script = tmp_path / f"child{attempt}.py"
+        script.write_text(CHILD.format(
+            root=ROOT, port=port, model_yaml=str(corpus / "model.yaml"),
+            data_yaml=str(corpus / "data.yaml"), outdir=outdir))
+        procs = [subprocess.Popen([sys.executable, str(script), str(i)],
+                                  env=env, cwd=ROOT,
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT)
+                 for i in range(2)]
+        outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 1:
+            for p, o in zip(procs, outs):
+                assert p.returncode == 0, o[-4000:]
 
     results = {}
     for i in range(2):
