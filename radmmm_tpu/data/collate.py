@@ -66,7 +66,19 @@ def collate_host(items: Sequence[Optional[Dict[str, Any]]],
         audio[i, :audio_lens[i]] = x["audio"][:audio_lens[i]]
         text[i, :text_lens[i]] = x["text_encoded"][:text_lens[i]]
 
+    out_extra = {}
+    tracks = [x.get("cached_f0") for x in items]
+    if all(t is not None for t in tracks):
+        # precomputed (3, F) [f0, voiced, p_voiced] tracks -> the featurizer
+        # skips its pYIN graph for this batch (data/f0_cache.py)
+        cf = np.zeros((B, 3, max_frames), np.float32)
+        for i, t in enumerate(tracks):
+            n = min(t.shape[1], max_frames)
+            cf[i, :, :n] = t[:, :n]
+        out_extra["cached_f0"] = cf
+
     return {
+        **out_extra,
         "audio": audio,
         "audio_lengths": audio_lens,
         "text": text,
@@ -120,21 +132,27 @@ class Featurizer:
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _featurize(self, audio, audio_lens, text_lens, max_text: int,
-                   noise_key):
+                   noise_key, cached_f0=None):
         mel = self.mel(audio)                         # (B, F, n_mels)
         # truncate the +1 frame so mel frames == bucket multiple
         mel = mel[:, :audio.shape[1] // self.hop_length]
         mel_lens = jnp.minimum(1 + audio_lens // self.hop_length,
                                mel.shape[1]).astype(jnp.int32)
 
-        f0_fn = pyin_f0 if self.f0_method == "pyin" else yin_f0
-        f0, voiced, p_voiced = f0_fn(
-            audio, sampling_rate=self.sampling_rate,
-            frame_length=self.filter_length, hop_length=self.hop_length,
-            f0_min=self.f0_min, f0_max=self.f0_max)
-        f0 = f0[:, :mel.shape[1]]
-        voiced = voiced[:, :mel.shape[1]]
-        p_voiced = p_voiced[:, :mel.shape[1]]
+        if cached_f0 is not None:
+            # precomputed track (data/f0_cache.py): skip the pYIN graph
+            f0 = cached_f0[:, 0, :mel.shape[1]]
+            voiced = cached_f0[:, 1, :mel.shape[1]]
+            p_voiced = cached_f0[:, 2, :mel.shape[1]]
+        else:
+            f0_fn = pyin_f0 if self.f0_method == "pyin" else yin_f0
+            f0, voiced, p_voiced = f0_fn(
+                audio, sampling_rate=self.sampling_rate,
+                frame_length=self.filter_length, hop_length=self.hop_length,
+                f0_min=self.f0_min, f0_max=self.f0_max)
+            f0 = f0[:, :mel.shape[1]]
+            voiced = voiced[:, :mel.shape[1]]
+            p_voiced = p_voiced[:, :mel.shape[1]]
         if self.use_log_f0:
             f0 = jnp.where(f0 >= self.f0_min, jnp.log(jnp.maximum(f0, 1.0)),
                            0.0)                       # data.py:321-327
@@ -203,13 +221,16 @@ class Featurizer:
         audio_i16 = np.clip(np.rint(audio_np * 32768.0),
                             -32768, 32767).astype(np.int16)
         audio_dev = self._dequantize(jnp.asarray(audio_i16))
+        cached = host_batch.get("cached_f0")
         mel, mel_lens, f0, voiced, p_voiced, energy, prior = self._featurize(
             audio_dev,
             jnp.asarray(host_batch["audio_lengths"]),
             jnp.asarray(host_batch["input_lengths"]),
-            int(host_batch["text"].shape[1]), noise_key)
+            int(host_batch["text"].shape[1]), noise_key,
+            jnp.asarray(cached) if cached is not None else None)
         batch = {k: jnp.asarray(v) for k, v in host_batch.items()
-                 if isinstance(v, np.ndarray) and k != "audio"}
+                 if isinstance(v, np.ndarray)
+                 and k not in ("audio", "cached_f0")}
         batch["audio"] = audio_dev
         batch.update(mel=mel, output_lengths=mel_lens, f0=f0,
                      voiced_mask=voiced, p_voiced=p_voiced,

@@ -109,6 +109,7 @@ class AudioDataset:
                  f0_pred_type: str = "norm_log_f0",
                  speaker_map=None, accent_map=None,
                  audio_cache_path: Optional[str] = None,
+                 f0_cache_path: Optional[str] = None,
                  seed: int = 1234):
         self.tp = tp
         self.dataloader_type = dataloader_type
@@ -145,6 +146,13 @@ class AudioDataset:
         if audio_cache_path:
             from radmmm_tpu.native import FeatureCache
             self.audio_cache = FeatureCache(audio_cache_path)
+        # optional per-utterance F0 cache (the reference's pyin .pt disk
+        # cache, data.py:491-527); augmented items transform the cached
+        # track analytically (data/f0_cache.py)
+        self.f0_cache = None
+        if f0_cache_path:
+            from radmmm_tpu.native import FeatureCache
+            self.f0_cache = FeatureCache(f0_cache_path)
 
         self.n_base_speakers = len(self.speaker_ids)
         self.augmentations = None
@@ -216,10 +224,19 @@ class AudioDataset:
             item.text, language=item.language,
             is_phonemized=item.phonemized), np.int32)
 
+        cached_f0 = None
+        if self.f0_cache is not None:
+            from radmmm_tpu.data.f0_cache import f0_key, transform_cached_f0
+            track = self.f0_cache.get_array(f0_key(item.audiopath))
+            if track is not None:
+                cached_f0 = transform_cached_f0(np.asarray(track),
+                                                aug_factors)
+
         f0_mean, f0_std, energy_mean, energy_std = self._stats_for(
             item.speaker)
         return {
             "audio": audio.astype(np.float32),
+            "cached_f0": cached_f0,
             "text_encoded": text_encoded,
             "speaker_id": speaker_id,
             "accent_id": accent_id,

@@ -208,6 +208,7 @@ def translate_reference_data_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         include_emotions=init.get("include_emotions"),
         speaker_map=init.get("speaker_map"),
         audio_cache_path=init.get("lmdb_cache_path"),
+        f0_cache_path=init.get("f0_cache_path"),
     )
     featurizer_kwargs = dict(
         filter_length=init.get("filter_length", 1024),
