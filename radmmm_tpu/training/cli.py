@@ -12,6 +12,7 @@ derived from the constructed symbol table.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List
 
@@ -85,7 +86,7 @@ def main(argv: List[str] = None):
     argv = argv if argv is not None else sys.argv[1:]
     parser = argparse.ArgumentParser(prog="radmmm_tpu")
     parser.add_argument("subcommand",
-                        choices=["fit", "predict", "vocoder-fit"])
+                        choices=["fit", "predict", "vocoder-fit", "export"])
     parser.add_argument("-c", "--config", action="append", default=[],
                         help="YAML config (repeatable; later overrides)")
     parser.add_argument("--ckpt_path", default=None)
@@ -112,6 +113,14 @@ def main(argv: List[str] = None):
     dm, trainer = build_all(cfg)
     if args.subcommand == "fit":
         trainer.fit(dm)
+    elif args.subcommand == "export":
+        ex = cfg.get("export", {})
+        trainer.export(
+            ex.get("path", os.path.join(trainer.cfg.output_directory,
+                                        "tts_export.bin")),
+            batch_size=ex.get("batch_size", 8),
+            max_text=ex.get("max_text", 96),
+            use_vocoder=ex.get("use_vocoder", True))
     else:
         trainer.predict(dm)
 

@@ -539,6 +539,54 @@ class Trainer:
             "speaker_f0_std": arr("speaker_f0_std", np.float32),
         }
 
+    def export(self, path: str, batch_size: int = 8, max_text: int = 96,
+               use_vocoder: bool = True,
+               state: Optional[TrainState] = None) -> int:
+        """AOT-export the trained TTS function to a self-contained serving
+        artifact (radmmm_tpu/serving.py). Requires a checkpoint unless a
+        live state is given; the HiFi-GAN vocoder is baked in when
+        configured."""
+        from radmmm_tpu.serving import export_tts
+
+        if state is None:
+            state = self._init_state(self._export_init_batch())
+            state, restored = self.ckpt.restore(state)
+            assert restored is not None, "export requires a checkpoint"
+        vocoder = voc_vars = None
+        if (use_vocoder and self.cfg.vocoder_type == "hifigan"
+                and self.cfg.vocoder_checkpoint_path
+                and os.path.exists(str(self.cfg.vocoder_checkpoint_path))):
+            from radmmm_tpu.vocoder.utils import load_hifigan_module
+            vocoder, voc_vars = load_hifigan_module(
+                self.cfg.vocoder_config_path,
+                self.cfg.vocoder_checkpoint_path)
+        n = export_tts(self.model, state.model_variables(), path,
+                       batch_size=batch_size, max_text=max_text,
+                       sigma=self.cfg.sigma_infer,
+                       max_frames=self.cfg.max_infer_frames,
+                       vocoder=vocoder, vocoder_vars=voc_vars)
+        print(f"exported {'audio' if vocoder else 'mel'} TTS artifact "
+              f"({n / 1e6:.1f} MB) to {path}")
+        return n
+
+    def _export_init_batch(self):
+        """Synthetic batch for param init when exporting from a ckpt."""
+        n_mel = self.model.config.n_mel_channels
+        return {
+            "text": jnp.zeros((1, 16), jnp.int32),
+            "input_lengths": jnp.asarray([16], jnp.int32),
+            "mel": jnp.zeros((1, 64, n_mel)),
+            "output_lengths": jnp.asarray([64], jnp.int32),
+            "speaker_ids": jnp.zeros((1,), jnp.int32),
+            "accent_ids": jnp.zeros((1,), jnp.int32),
+            "f0": jnp.zeros((1, 64)),
+            "voiced_mask": jnp.zeros((1, 64)),
+            "energy_avg": jnp.zeros((1, 64)),
+            "attn_prior": jnp.full((1, 64, 16), 1.0 / 16),
+            "speaker_f0_mean": jnp.asarray([5.0], jnp.float32),
+            "speaker_f0_std": jnp.asarray([0.3], jnp.float32),
+        }
+
     def _predict_init_batch(self, items):
         """Tiny synthetic batch for param init during predict."""
         batch = self._predict_batch(items[:1])

@@ -41,6 +41,22 @@ def load_hifigan_config(config_path: str) -> HiFiGANConfig:
     )
 
 
+def load_hifigan_module(vocoder_config_path, ckpt_or_path):
+    """(Generator module, converted variables) from an upstream torch
+    checkpoint — the module+params form needed to bake the vocoder into an
+    exported serving artifact (radmmm_tpu/serving.py)."""
+    if isinstance(ckpt_or_path, (str, os.PathLike)):
+        import torch
+        ckpt_or_path = torch.load(ckpt_or_path, map_location="cpu",
+                                  weights_only=False)
+    cfg = (load_hifigan_config(vocoder_config_path)
+           if vocoder_config_path and os.path.exists(str(vocoder_config_path))
+           else HiFiGANConfig())
+    state_dict = ckpt_or_path.get("generator", ckpt_or_path)
+    variables = load_torch_generator_params(state_dict, cfg)
+    return Generator(config=cfg), variables
+
+
 def get_vocoder(vocoder_type: str = "hifigan",
                 vocoder_config_path: Optional[str] = None,
                 vocoder_checkpoint_path: Optional[str] = None,
@@ -86,12 +102,8 @@ def get_vocoder(vocoder_type: str = "hifigan",
                     if with_denoiser else None)
         return generator_fn, denoiser
 
-    cfg = (load_hifigan_config(vocoder_config_path)
-           if vocoder_config_path and os.path.exists(vocoder_config_path)
-           else HiFiGANConfig())
-    state_dict = ckpt.get("generator", ckpt)
-    variables = load_torch_generator_params(state_dict, cfg)
-    gen = Generator(config=cfg)
+    gen, variables = load_hifigan_module(vocoder_config_path, ckpt)
+    cfg = gen.config
     apply = jax.jit(gen.apply)
 
     def generator_fn(mel):

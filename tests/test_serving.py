@@ -1,0 +1,78 @@
+"""Serving export: AOT artifact round-trips and matches live inference."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radmmm_tpu.models.tts import TTSModel
+from radmmm_tpu.serving import export_tts, load_tts, make_tts_fn
+from tests.test_tts_model import tiny_config, tiny_batch
+
+
+def test_export_roundtrip_matches_live(tmp_path):
+    rng = np.random.default_rng(0)
+    model = TTSModel(config=tiny_config())
+    batch = tiny_batch(rng)
+    variables = jax.jit(
+        functools.partial(model.init, binarize=False, train=True))(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            batch)
+
+    B, T = 2, 12
+    path = str(tmp_path / "tts.bin")
+    n = export_tts(model, variables, path, batch_size=B, max_text=T,
+                   sigma=0.8, max_frames=64)
+    assert n > 10_000
+
+    served = load_tts(path)
+    assert served.in_avals[0].shape == (B, T)
+
+    args = (rng.integers(1, 30, (B, T)).astype(np.int32),
+            np.asarray([T, T - 3], np.int32),
+            np.asarray([0, 2], np.int32),
+            np.asarray([0, 1], np.int32),
+            np.asarray([5.0, 5.2], np.float32),
+            np.asarray([0.3, 0.4], np.float32),
+            np.int32(7))
+    mel_served, lens_served = served(*args)
+
+    live = jax.jit(make_tts_fn(model, variables, sigma=0.8, max_frames=64))
+    mel_live, lens_live = live(*[jnp.asarray(a) for a in args])
+
+    np.testing.assert_array_equal(np.asarray(lens_served),
+                                  np.asarray(lens_live))
+    np.testing.assert_allclose(np.asarray(mel_served),
+                               np.asarray(mel_live), atol=1e-5)
+    assert np.isfinite(np.asarray(mel_served)).all()
+    # different seed -> different sample (the flow residual is stochastic)
+    mel2, _ = served(*args[:-1], np.int32(8))
+    assert not np.allclose(np.asarray(mel2), np.asarray(mel_served))
+
+
+def test_trainer_export_from_checkpoint(tmp_path):
+    """CLI-facing path: Trainer.export restores the checkpoint and writes a
+    loadable artifact (mel-only: no vocoder ckpt configured)."""
+    from radmmm_tpu.training.loop import Trainer, TrainerConfig
+    from radmmm_tpu.training.step import LossConfig
+
+    rng = np.random.default_rng(0)
+    cfg = tiny_config()
+    trainer = Trainer(cfg, LossConfig(n_group_size=2),
+                      TrainerConfig(output_directory=str(tmp_path / "run"),
+                                    save_code_snapshot=False,
+                                    max_infer_frames=64))
+    state = trainer._init_state(tiny_batch(rng))
+    trainer.ckpt.save(1, state)
+
+    path = str(tmp_path / "artifact.bin")
+    n = trainer.export(path, batch_size=1, max_text=8)
+    assert n > 10_000
+    served = load_tts(path)
+    mel, lens = served(np.ones((1, 8), np.int32),
+                       np.asarray([8], np.int32),
+                       np.zeros((1,), np.int32), np.zeros((1,), np.int32),
+                       np.asarray([5.0], np.float32),
+                       np.asarray([0.3], np.float32), np.int32(0))
+    assert np.isfinite(np.asarray(mel)).all()
+    assert 0 < int(np.asarray(lens)[0]) <= 64
