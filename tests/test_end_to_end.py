@@ -186,3 +186,31 @@ def test_fit_and_predict_end_to_end(cfg_files, tmp_path):
     from scipy.io import wavfile
     sr, wav = wavfile.read(paths[0])
     assert sr == 22050 and wav.size > 1000
+
+
+def test_validate_logs_samples_and_artifacts(cfg_files, tmp_path):
+    """validate() writes scalar rows to metrics.jsonl and, with
+    save_val_artifacts, attention/mel images + reconstruction audio as
+    files (the TB-less observability path the overfit demo relies on)."""
+    import json
+    mpath, dpath, outdir, root = cfg_files
+    cfg = load_configs([mpath, dpath])
+    cfg["model"]["output_directory"] = str(tmp_path / "valrun")
+    # validate on the training files (the fixture corpus has no val split)
+    cfg["data"]["init_args"]["valset_config"] = \
+        cfg["data"]["init_args"]["trainset_config"]
+    cfg["trainer"].update(max_steps=1, val_check_interval=1,
+                          save_val_artifacts=True, griffin_lim_iters=3)
+    dm, trainer = build_all(cfg)
+    trainer.fit(dm, resume=False)
+
+    rows = [json.loads(l) for l in
+            open(tmp_path / "valrun" / "tb" / "metrics.jsonl")]
+    val_rows = [r for r in rows if any(k.startswith("val/") for k in r)]
+    assert val_rows and "val/loss" in val_rows[0]
+
+    art = tmp_path / "valrun" / "val_artifacts" / "step_0000001"
+    files = {p.name for p in art.iterdir()}
+    assert {"val_attention_hard.png", "val_attention_soft.png",
+            "val_mel_gt.png", "val_mel_reconstructed.png",
+            "val_reconstruction.wav", "val_attributes.png"} <= files
