@@ -124,6 +124,11 @@ class RADMMMFlow(nn.Module):
     use_bn: bool = True
     use_accent_emb_for_decoder: bool = False
     bn_axis_name: Optional[str] = None
+    # rematerialize each flow step's activations in the backward pass:
+    # trades ~1/3 more FLOPs for O(n_flows)x less live activation memory —
+    # the HBM knob for long-utterance recipes (epic-duration configs,
+    # dur_max >> 10 s) and bigger per-chip batches
+    remat: bool = False
 
     @property
     def decoder_cond_dims(self) -> int:
@@ -164,8 +169,12 @@ class RADMMMFlow(nn.Module):
                 hidden, bidirectional=True,
                 spectral_norm=(self.context_lstm_norm is not None
                                and "spectral" in self.context_lstm_norm))
+        # static argnums (self=0): inverse=4, train=5, sync_bn=6 — call
+        # sites pass them positionally (nn.remat + kwargs don't mix)
+        step_cls = (nn.remat(FlowStep, static_argnums=(4, 5, 6))
+                    if self.remat else FlowStep)
         self.flows = [
-            FlowStep(c, self.decoder_cond_dims, self.n_conv_layers_per_step,
+            step_cls(c, self.decoder_cond_dims, self.n_conv_layers_per_step,
                      step_index=i,
                      mode=("whiten" if i == 0 else "LUS"),
                      affine_model=self.affine_model,
@@ -225,8 +234,7 @@ class RADMMMFlow(nn.Module):
             if i in exit_steps:
                 z_out.append(z[..., :self.n_early_size])
                 z = z[..., self.n_early_size:]
-            z, log_det_W, log_s = step(z, ctx, mask, train=train,
-                                       sync_bn=sync_bn)
+            z, log_det_W, log_s = step(z, ctx, mask, False, train, sync_bn)
             log_s_list.append(log_s)
             log_det_W_list.append(log_det_W)
         z_out.append(z)
@@ -267,7 +275,7 @@ class RADMMMFlow(nn.Module):
 
         exit_stack = list(self.exit_steps)
         for i in range(self.n_flows - 1, -1, -1):
-            z = self.flows[i](z, ctx, mask, inverse=True, train=False)
+            z = self.flows[i](z, ctx, mask, True, False, False)
             if exit_stack and i == exit_stack[-1]:
                 exit_stack.pop()
                 lo = len(exit_stack) * self.n_early_size

@@ -141,3 +141,48 @@ def test_flow_with_spline_steps(rng):
     got = np.asarray(rec["mel"])
     want = np.asarray(mel) * np.asarray(lens.fmask())[..., None]
     np.testing.assert_allclose(got[0, :12], want[0, :12], atol=5e-3)
+
+
+def test_remat_matches_plain(rng):
+    """remat=True is numerically identical (outputs and grads) to the plain
+    decoder — it only changes what the backward pass rematerializes."""
+    mel, spk, ctx, f0, energy, acc, lens = tiny_batch(rng)
+    plain = tiny_flow()
+    rem = tiny_flow(remat=True)
+    variables = plain.init({"params": jax.random.key(0)}, mel, spk, ctx,
+                           lens, f0=f0, energy_avg=energy, accent_vecs=acc,
+                           train=False)
+
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss(model, params):
+        out = model.apply({"params": params, **rest}, mel, spk, ctx, lens,
+                          f0=f0, energy_avg=energy, accent_vecs=acc,
+                          train=False)
+        return (jnp.sum(out["z_mel"] ** 2)
+                + sum(jnp.sum(s) for s in out["log_s_list"])), out
+
+    (l0, out0), g0 = jax.value_and_grad(
+        lambda p: loss(plain, p), has_aux=True)(variables["params"])
+    (l1, out1), g1 = jax.value_and_grad(
+        lambda p: loss(rem, p), has_aux=True)(variables["params"])
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out0["z_mel"]),
+                               np.asarray(out1["z_mel"]), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # inference (inverse) path also runs under the remat-wrapped steps
+    inf0 = plain.apply(variables, jax.random.key(1), spk,
+                       ctx[:, ::2][:, :6], 0.7,
+                       dur=jnp.full((2, 6), 2, jnp.int32), f0=f0,
+                       energy_avg=energy, lens=lens, accent_vecs=acc,
+                       method=RADMMMFlow.infer)
+    inf1 = rem.apply(variables, jax.random.key(1), spk,
+                     ctx[:, ::2][:, :6], 0.7,
+                     dur=jnp.full((2, 6), 2, jnp.int32), f0=f0,
+                     energy_avg=energy, lens=lens, accent_vecs=acc,
+                     method=RADMMMFlow.infer)
+    np.testing.assert_allclose(np.asarray(inf0["mel"]),
+                               np.asarray(inf1["mel"]), atol=1e-6)
