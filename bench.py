@@ -79,10 +79,13 @@ def bench_training(precision: str = "f32", prefix: str = "train") -> dict:
     state, metrics = step(state, batch, key)     # compile + warm
     float(metrics["loss"])                        # force completion
     iters = 10
+    # steady-state cadence: steps chain through the donated state; the loss
+    # is fetched once per window like the trainer's log_interval, not per
+    # step (a per-step host round trip is ~27 ms on this relay)
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
-        float(metrics["loss"])
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
     frames_per_sec = B * T_MEL * iters / dt
     del state, step
@@ -166,9 +169,14 @@ def main():
     float(run(variables, voc_vars, jax.random.key(0)))   # compile + warm
 
     iters = 10
+    # serving-style pipelining: keep the queue full (async dispatch), force
+    # completion of every batch at the end — throughput, not single-batch
+    # latency
     t0 = time.perf_counter()
-    for i in range(iters):
-        float(run(variables, voc_vars, jax.random.key(i + 1)))
+    outs = [run(variables, voc_vars, jax.random.key(i + 1))
+            for i in range(iters)]
+    for o in outs:
+        float(o)
     dt = time.perf_counter() - t0
 
     frames = B * MAX_FRAMES * iters
