@@ -70,6 +70,11 @@ def vocoder_fit(cfg: Dict[str, Any], dm) -> None:
             k: tuple(v) if isinstance(v, list) else v
             for k, v in vc.get("generator", {}).items()})
         trainer = HiFiGANTrainer(gen_cfg, train_cfg)
+        # self-describing run dir: get_vocoder(checkpoint=<out_dir>) reads
+        # this to rebuild the Generator for the native checkpoint
+        import json
+        with open(os.path.join(out_dir, "generator_config.json"), "w") as f:
+            json.dump(dataclasses.asdict(gen_cfg), f, indent=1)
     rng = np.random.default_rng(0)
     state = None
     step = 0

@@ -41,6 +41,52 @@ def load_hifigan_config(config_path: str) -> HiFiGANConfig:
     )
 
 
+def _load_native_vocoder(vocoder_type: str, run_dir: str,
+                         vocoder_config_path, with_denoiser: bool):
+    """Load a `vocoder-fit` output directory (or its `ckpt` subdir): orbax
+    state + the generator_config.json the loop writes next to it."""
+    import orbax.checkpoint as ocp
+
+    run_dir = os.path.abspath(str(run_dir))
+    ckpt_dir = (run_dir if os.path.basename(run_dir) == "ckpt"
+                or not os.path.isdir(os.path.join(run_dir, "ckpt"))
+                else os.path.join(run_dir, "ckpt"))
+    cfg_path = (vocoder_config_path
+                if vocoder_config_path
+                and str(vocoder_config_path).endswith(".json")
+                and os.path.exists(str(vocoder_config_path))
+                else os.path.join(os.path.dirname(ckpt_dir),
+                                  "generator_config.json"))
+    gen_kwargs = {}
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            gen_kwargs = {k: tuple(tuple(x) if isinstance(x, list) else x
+                                   for x in v)
+                          if isinstance(v, list) else v
+                          for k, v in json.load(f).items()}
+    if vocoder_type != "hifigan":
+        raise ValueError("native checkpoint loading is implemented for "
+                         "hifigan runs (vocoder-fit default)")
+    mgr = ocp.CheckpointManager(ckpt_dir)
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    payload = mgr.restore(step)
+    gen_params = payload["gen_params"]
+    cfg = HiFiGANConfig(**gen_kwargs)
+    gen = Generator(config=cfg)
+    variables = {"params": gen_params}
+    apply = jax.jit(gen.apply)
+
+    def generator_fn(mel):
+        return apply(variables, mel)
+
+    denoiser = (Denoiser(gen.apply, variables,
+                         n_mel_channels=cfg.n_mel_channels)
+                if with_denoiser else None)
+    return generator_fn, denoiser
+
+
 def load_hifigan_module(vocoder_config_path, ckpt_or_path):
     """(Generator module, converted variables) from an upstream torch
     checkpoint — the module+params form needed to bake the vocoder into an
@@ -74,6 +120,10 @@ def get_vocoder(vocoder_type: str = "hifigan",
     if not vocoder_checkpoint_path or not os.path.exists(
             str(vocoder_checkpoint_path)):
         return None, None
+    if os.path.isdir(str(vocoder_checkpoint_path)):
+        # native checkpoint from `vocoder-fit` (orbax run dir)
+        return _load_native_vocoder(vocoder_type, vocoder_checkpoint_path,
+                                    vocoder_config_path, with_denoiser)
     import torch
     ckpt = torch.load(vocoder_checkpoint_path, map_location="cpu",
                       weights_only=False)
