@@ -140,53 +140,62 @@ def main():
             init_batch)
 
     from radmmm_tpu.vocoder.hifigan import Generator, HiFiGANConfig
-    voc_cfg = HiFiGANConfig()          # v1: 512ch, rates (8,8,2,2)
-    vocoder = Generator(config=voc_cfg)
-    voc_vars = jax.jit(vocoder.init)(jax.random.key(7),
-                                     jnp.zeros((1, 32, 80)))
-    # bf16 weights/activations for vocoding: halves HBM traffic on the
-    # long upsampled sequences (bf16 keeps fp32 range; standard for
-    # neural-vocoder serving)
-    voc_vars = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16), voc_vars)
 
-    @jax.jit
-    def run(v, vv, key):
-        out = model.apply(v, key, text, text_lens, speaker_ids,
-                          accent_ids=accent_ids, f0_mean=f0_mean,
-                          f0_std=f0_std, sigma=0.8, max_frames=MAX_FRAMES,
-                          method=TTSModel.infer)
-        # vocode in two groups: full-batch f32 activations exceed HBM, but
-        # bf16 halves them; two groups leaves headroom
-        mel_groups = out["mel"].reshape(2, 16, MAX_FRAMES, 80) \
-            .astype(jnp.bfloat16)
-        audio = jax.lax.map(lambda m: vocoder.apply(vv, m), mel_groups)
-        audio = audio.astype(jnp.float32)
-        # reduce in-graph; fetching the scalar forces real completion (the
-        # axon relay's block_until_ready returns before execution finishes)
-        return jnp.sum(audio)
+    def measure(voc_cfg):
+        vocoder = Generator(config=voc_cfg)
+        voc_vars = jax.jit(vocoder.init)(jax.random.key(7),
+                                         jnp.zeros((1, 32, 80)))
+        # bf16 weights/activations for vocoding: halves HBM traffic on the
+        # long upsampled sequences (bf16 keeps fp32 range; standard for
+        # neural-vocoder serving)
+        voc_vars = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), voc_vars)
 
-    float(run(variables, voc_vars, jax.random.key(0)))   # compile + warm
+        @jax.jit
+        def run(v, vv, key):
+            out = model.apply(v, key, text, text_lens, speaker_ids,
+                              accent_ids=accent_ids, f0_mean=f0_mean,
+                              f0_std=f0_std, sigma=0.8,
+                              max_frames=MAX_FRAMES, method=TTSModel.infer)
+            # vocode in two groups: full-batch f32 activations exceed HBM,
+            # but bf16 halves them; two groups leaves headroom
+            mel_groups = out["mel"].reshape(2, 16, MAX_FRAMES, 80) \
+                .astype(jnp.bfloat16)
+            audio = jax.lax.map(lambda m: vocoder.apply(vv, m), mel_groups)
+            audio = audio.astype(jnp.float32)
+            # reduce in-graph; fetching the scalar forces real completion
+            # (the axon relay's block_until_ready returns before execution
+            # finishes)
+            return jnp.sum(audio)
 
-    iters = 10
-    # serving-style pipelining: keep the queue full (async dispatch), force
-    # completion of every batch at the end — throughput, not single-batch
-    # latency
-    t0 = time.perf_counter()
-    outs = [run(variables, voc_vars, jax.random.key(i + 1))
-            for i in range(iters)]
-    for o in outs:
-        float(o)
-    dt = time.perf_counter() - t0
+        float(run(variables, voc_vars, jax.random.key(0)))  # compile+warm
+        iters = 10
+        # serving-style pipelining: keep the queue full (async dispatch),
+        # force completion of every batch at the end — throughput, not
+        # single-batch latency
+        t0 = time.perf_counter()
+        outs = [run(variables, voc_vars, jax.random.key(i + 1))
+                for i in range(iters)]
+        for o in outs:
+            float(o)
+        dt = time.perf_counter() - t0
+        frames = B * MAX_FRAMES * iters
+        return frames * HOP / SR / dt
 
-    frames = B * MAX_FRAMES * iters
-    audio_seconds = frames * HOP / SR
-    rtf = audio_seconds / dt
+    # headline: HiFi-GAN v1 (512ch, rates (8,8,2,2)) — the reference's
+    # serving vocoder, directly comparable
+    rtf = measure(HiFiGANConfig())
+    # iSTFTNet-style C8C8I head (arXiv:2203.02395): ~2x faster vocoding,
+    # trainable via vocoder-fit (near-V1 quality per the paper)
+    rtf_istft = measure(HiFiGANConfig(
+        upsample_rates=(8, 8), upsample_kernel_sizes=(16, 16),
+        gen_istft_n_fft=16, gen_istft_hop=4))
     print(json.dumps({
         "metric": "tts_text_to_audio_rtf_b32",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 100.0, 3),
+        "rtf_b32_istftnet_vocoder": round(rtf_istft, 2),
         **train_metrics,
     }))
 

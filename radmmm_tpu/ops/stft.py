@@ -177,28 +177,39 @@ class MelSpectrogram:
         center padding removed, matching STFT.inverse
         (audio_processing.py:257-286).
         """
-        n_fft, hop = self.filter_length, self.hop_length
-        # mag·e^{iφ} via explicit (re, im): complex exp is unimplemented on
-        # some TPU runtimes; cos/sin + lax.complex lowers everywhere
-        spec = jax.lax.complex(magnitude * jnp.cos(phase),
-                               magnitude * jnp.sin(phase))
-        frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)     # (B, F, n_fft)
-        frames = frames * self.window[None, None, :]
-        B, n_frames_, _ = frames.shape
-        T = n_fft + hop * (n_frames_ - 1)
-        # overlap-add via scatter
-        idx = (jnp.arange(n_frames_) * hop)[:, None] + jnp.arange(n_fft)[None]
-        sig = jnp.zeros((B, T))
-        sig = sig.at[:, idx.reshape(-1)].add(
-            frames.reshape(B, -1), unique_indices=False)
-        # window sum-square envelope
-        wss = jnp.zeros((T,))
-        wsq = (self.window ** 2)
-        wss = wss.at[idx.reshape(-1)].add(
-            jnp.broadcast_to(wsq, (n_frames_, n_fft)).reshape(-1))
-        sig = jnp.where(wss > 1e-11, sig / jnp.maximum(wss, 1e-11), sig)
-        pad = n_fft // 2
-        return sig[:, pad:T - pad]
+        return istft_frames(magnitude, phase, self.filter_length,
+                            self.hop_length, self.window)
+
+
+def istft_frames(magnitude: jax.Array, phase: jax.Array, n_fft: int,
+                 hop: int, window: jax.Array) -> jax.Array:
+    """Overlap-add inverse STFT (free function: also the synthesis head of
+    the iSTFTNet-style vocoder, vocoder/hifigan.py).
+
+    magnitude/phase: (B, n_frames, n_fft//2+1). Returns (B, T) with the
+    center padding removed.
+    """
+    # mag·e^{iφ} via explicit (re, im): complex exp is unimplemented on
+    # some TPU runtimes; cos/sin + lax.complex lowers everywhere
+    spec = jax.lax.complex(magnitude * jnp.cos(phase),
+                           magnitude * jnp.sin(phase))
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)     # (B, F, n_fft)
+    frames = frames * window[None, None, :]
+    B, n_frames_, _ = frames.shape
+    T = n_fft + hop * (n_frames_ - 1)
+    # overlap-add via scatter
+    idx = (jnp.arange(n_frames_) * hop)[:, None] + jnp.arange(n_fft)[None]
+    sig = jnp.zeros((B, T), frames.dtype)
+    sig = sig.at[:, idx.reshape(-1)].add(
+        frames.reshape(B, -1), unique_indices=False)
+    # window sum-square envelope
+    wss = jnp.zeros((T,), frames.dtype)
+    wsq = (window ** 2).astype(frames.dtype)
+    wss = wss.at[idx.reshape(-1)].add(
+        jnp.broadcast_to(wsq, (n_frames_, n_fft)).reshape(-1))
+    sig = jnp.where(wss > 1e-11, sig / jnp.maximum(wss, 1e-11), sig)
+    pad = n_fft // 2
+    return sig[:, pad:T - pad]
 
 
 def griffin_lim(mel_or_mag: jax.Array, stft: "MelSpectrogram", rng,

@@ -18,7 +18,7 @@ TPU-native notes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,10 +41,21 @@ class HiFiGANConfig:
         (1, 3, 5), (1, 3, 5), (1, 3, 5))
     n_mel_channels: int = 80
     sampling_rate: int = 22050
+    # iSTFTNet-style synthesis head (arXiv:2203.02395): when gen_istft_n_fft
+    # is set, the conv stack stops after `upsample_rates` and predicts
+    # magnitude+phase frames that an inverse STFT (hop gen_istft_hop)
+    # converts to audio — removing the FLOP-heavy low-channel upsample
+    # stages at the longest lengths (e.g. C8C8I: rates (8,8), n_fft 16,
+    # hop 4 for a 256-sample total hop)
+    gen_istft_n_fft: Optional[int] = None
+    gen_istft_hop: int = 4
 
     @property
     def hop_length(self) -> int:
-        return int(np.prod(self.upsample_rates))
+        hop = int(np.prod(self.upsample_rates))
+        if self.gen_istft_n_fft is not None:
+            hop *= self.gen_istft_hop
+        return hop
 
 
 def _wn_conv_kernel(module, name, shape):
@@ -167,6 +178,31 @@ class Generator(nn.Module):
                               name=f"resblock_{i}_{j}")(x)
             x = xs / len(h.resblock_kernel_sizes)
         x = jax.nn.leaky_relu(x, 0.01)  # final lrelu uses default slope
+        if h.gen_istft_n_fft is not None:
+            # iSTFTNet head: predict per-frame magnitude+phase, synthesize
+            # with an inverse STFT (arXiv:2203.02395 §2; our TPU-safe
+            # complex-free istft does the overlap-add)
+            from radmmm_tpu.ops.stft import istft_frames
+            n_fft, ihop = h.gen_istft_n_fft, h.gen_istft_hop
+            K = n_fft // 2 + 1
+            kp = _wn_conv_kernel(self, "conv_post", (7, ch, 2 * K))
+            bp = self.param("conv_post_bias", nn.initializers.zeros,
+                            (2 * K,))
+            x = conv1d(x, kp, bp)
+            # f32 synthesis: FFT/complex ops don't take bf16, and the
+            # iSTFT is a negligible share of the FLOPs
+            xf = x.astype(jnp.float32)
+            mag = jnp.exp(jnp.clip(xf[..., :K], -8.0, 8.0))
+            phase = xf[..., K:]
+            window = jnp.hanning(n_fft).astype(jnp.float32)
+            audio = istft_frames(mag, phase, n_fft, ihop, window)
+            # istft center-trim loses (n_fft - ihop) samples; pad split
+            # evenly so callers get exactly T_frames * hop_length samples
+            want = mel.shape[1] * h.hop_length
+            missing = want - audio.shape[1]
+            lo = max(0, missing // 2)
+            hi = max(0, missing - lo)
+            return jnp.pad(audio, ((0, 0), (lo, hi)))[:, :want]
         kp = _wn_conv_kernel(self, "conv_post", (7, ch, 1))
         bp = self.param("conv_post_bias", nn.initializers.zeros, (1,))
         x = conv1d(x, kp, bp)

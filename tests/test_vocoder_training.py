@@ -100,3 +100,38 @@ def test_waveglow_training_reduces_loss(rng):
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_istftnet_generator_trains(rng):
+    """iSTFTNet-style head (arXiv:2203.02395): C8C8I generator produces
+    exact-length audio and the GAN step reduces the mel term."""
+    gen_cfg = HiFiGANConfig(upsample_rates=(8, 8),
+                            upsample_kernel_sizes=(16, 16),
+                            upsample_initial_channel=32,
+                            resblock_kernel_sizes=(3,),
+                            resblock_dilation_sizes=((1, 3),),
+                            n_mel_channels=80,
+                            gen_istft_n_fft=16, gen_istft_hop=4)
+    assert gen_cfg.hop_length == 256
+    cfg = VocoderTrainConfig(segment_size=2048, mel_fmax_loss=None)
+    trainer = HiFiGANTrainer(gen_cfg, cfg)
+    mel_fn = MelSpectrogram(1024, 256, 1024, 80, 22050, 0.0, None)
+    audio = np.stack([tone(200.0, dur=0.3), tone(300.0, dur=0.3)])
+    lens = np.array([len(audio[0])] * 2)
+    batch = random_segments(audio, lens, mel_fn, cfg.segment_size,
+                            np.random.default_rng(0))
+
+    state = trainer.init_state(jax.random.key(0), batch)
+    # generator output length matches the standard head exactly
+    y = trainer.gen.apply({"params": state.gen_params}, batch["mel"])
+    assert y.shape == (2, batch["mel"].shape[1] * 256)
+    assert np.isfinite(np.asarray(y)).all()
+
+    first = None
+    for i in range(6):
+        state, metrics = trainer.train_step(state, batch)
+        if first is None:
+            first = {k: float(v) for k, v in metrics.items()}
+    final = {k: float(v) for k, v in metrics.items()}
+    assert np.isfinite(list(final.values())).all()
+    assert final["gen_mel"] < first["gen_mel"]
