@@ -31,6 +31,16 @@ jax.config.update("jax_platforms", "cpu")
 # this XLA CPU build otherwise uses a low-precision matmul path.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent compile cache: the env vars alone don't activate it on this
+# jax build — set the config explicitly. Caching every entry keeps repeat
+# suite runs nearly compile-free (the suite compiles ~2k programs; one
+# observed XLA-CPU compiler segfault happened only after ~1h of continuous
+# compilation in a single process, which the cache also avoids).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
