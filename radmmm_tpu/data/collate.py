@@ -129,6 +129,17 @@ class Featurizer:
         self.f0_method = f0_method
         self.seed = seed
         self._n_calls = 0  # host-side counter -> fresh noise key per batch
+        # resume/rank decorrelation (see set_noise_base): the noise key
+        # folds in (process_index, base, counter) so ranks never share a
+        # noise pattern and resumed runs don't replay the sequence from 0
+        self._noise_base = 0
+
+    def set_noise_base(self, step: int):
+        """Re-key the mel-noise stream from a trainer step (called on
+        checkpoint resume so the counter-derived key sequence continues
+        instead of replaying from 0)."""
+        self._noise_base = int(step)
+        self._n_calls = 0
 
     @functools.partial(jax.jit, static_argnums=(0, 4))
     def _featurize(self, audio, audio_lens, text_lens, max_text: int,
@@ -206,8 +217,9 @@ class Featurizer:
     def __call__(self, host_batch: Dict[str, Any]) -> Dict[str, Any]:
         """host collate dict -> full train-step batch (device arrays)."""
         if self.mel_noise_scale > 0:
-            noise_key = jax.random.fold_in(jax.random.key(self.seed),
-                                           self._n_calls)
+            noise_key = jax.random.key(self.seed)
+            for n in (jax.process_index(), self._noise_base, self._n_calls):
+                noise_key = jax.random.fold_in(noise_key, n)
             self._n_calls += 1
         else:  # unused by the jitted graph; avoid per-batch dispatches
             if not hasattr(self, "_null_key"):

@@ -42,6 +42,7 @@ class DataLoader:
         self.process_index = process_index or 0
         self.process_count = max(1, process_count)
         lengths = [u.duration for u in dataset.data]
+        self._seed = seed
         self.batcher = BucketBatcher(lengths, batch_size, shuffle, seed)
         if self.process_count > 1:
             # multi-host: every process must contribute a same-shaped local
@@ -50,8 +51,15 @@ class DataLoader:
             # filelist metadata: mel frames from durations, text tokens
             # from a one-time encode pass (deterministic).
             sr = getattr(dataset, "sampling_rate", 22050)
+            # duration augmentation lengthens audio after scheduling; scale
+            # by the worst-case stretch so pad_to always covers the
+            # post-augmentation length (no silent truncation)
+            aug = getattr(dataset, "augmentations", None)
+            dur_factor = (aug.max_duration_factor()
+                          if aug is not None else 1.0)
             self._sched_frames = np.array(
-                [1 + int(np.ceil(u.duration * sr)) // self.hop_length
+                [1 + int(np.ceil(u.duration * dur_factor * sr))
+                 // self.hop_length
                  for u in dataset.data], np.int64)
             self._sched_text = np.array(
                 [dataset.encoded_text_length(i)
@@ -59,7 +67,23 @@ class DataLoader:
             self._warned_drop = False
 
     def __len__(self):
-        return len(self.batcher) // self.process_count
+        """Batches this process yields per epoch. Multi-host: simulated
+        from a same-seed clone of the batcher, so the count reflects the
+        shape-grouped schedule's dropped tail groups (exact for the first
+        epoch; later epochs reshuffle membership so it's an estimate)."""
+        if self.process_count == 1:
+            return len(self.batcher)
+        if not hasattr(self, "_len_cache"):
+            clone = BucketBatcher(self.batcher.lengths,
+                                  self.batcher.batch_size,
+                                  self.batcher.shuffle, self._seed)
+            counts: dict = {}
+            for indices in clone:
+                key = self._shape_key(np.asarray(indices))
+                counts[key] = counts.get(key, 0) + 1
+            self._len_cache = sum(n // self.process_count
+                                  for n in counts.values())
+        return self._len_cache
 
     def _shape_key(self, indices):
         from radmmm_tpu.data.collate import round_up

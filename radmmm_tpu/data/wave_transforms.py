@@ -229,6 +229,20 @@ class WaveAugmentations:
             factors["duration"] = float(rng.uniform(*self.duration_range))
         return True, aug_index, factors
 
+    def max_duration_factor(self) -> float:
+        """Largest duration-stretch any sampled augmentation can apply
+        (>= 1.0). Host-side batch-shape scheduling must scale filelist
+        durations by this so post-augmentation audio still fits the
+        scheduled pad_to shape."""
+        f = 1.0
+        if self.aug_types:
+            for t, s in zip(self.aug_types, self.aug_scales or []):
+                if t != "none" and t.replace("scale_", "") == "duration":
+                    f = max(f, float(s))
+        elif self.use_duration_scaling:
+            f = max(f, float(max(self.duration_range)))
+        return f
+
     def apply(self, audio: np.ndarray, factors: dict) -> np.ndarray:
         """Apply sampled factors to (T,) audio on host via the jitted DSP."""
         x = jnp.asarray(audio)[None, :]

@@ -71,13 +71,15 @@ def build_all(cfg: dict):
         prediction_output_dir=run["prediction_output_dir"],
         predict_mode=run["predict_mode"],
     )
-    # any other trainer key naming a TrainerConfig field passes through
+    # any trainer key naming a TrainerConfig field passes through
     # (profile_dir, detect_anomaly, save_val_artifacts, val_prompts_path,
-    # log_interval, sigma_infer, max_infer_frames, ...)
+    # log_interval, sigma_infer, max_infer_frames, ...); explicit trainer
+    # keys WIN over values translated from the model/data sections, so
+    # `--trainer.prediction_output_dir=...`-style overrides take effect
     import dataclasses as _dc
     field_names = {f.name for f in _dc.fields(TrainerConfig)}
     kwargs.update({k: v for k, v in trainer_section.items()
-                   if k in field_names and k not in kwargs})
+                   if k in field_names})
     trainer_cfg = TrainerConfig(**kwargs)
     return dm, Trainer(tts_cfg, loss_cfg, trainer_cfg)
 
@@ -89,7 +91,11 @@ def main(argv: List[str] = None):
                         choices=["fit", "predict", "vocoder-fit", "export"])
     parser.add_argument("-c", "--config", action="append", default=[],
                         help="YAML config (repeatable; later overrides)")
-    parser.add_argument("--ckpt_path", default=None)
+    parser.add_argument("--ckpt_path", default=None,
+                        help="checkpoint to restore (reference README:70-80):"
+                             " an integer step of this run, another run's "
+                             "directory, a ckpt dir, or an explicit orbax "
+                             "step dir like <run>/ckpt/9000")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: jax.distributed.initialize() from "
                              "cluster env (the NCCL/DDP-launch equivalent)")
@@ -111,6 +117,8 @@ def main(argv: List[str] = None):
         return
 
     dm, trainer = build_all(cfg)
+    if args.ckpt_path is not None:
+        trainer.cfg.ckpt_path = args.ckpt_path
     if args.subcommand == "fit":
         trainer.fit(dm)
     elif args.subcommand == "export":

@@ -84,6 +84,11 @@ class TrainerConfig:
     # also write every validation image/audio as files under
     # <output_directory>/val_artifacts/step_N/ (in addition to TB)
     save_val_artifacts: bool = False
+    # explicit checkpoint to restore (the reference's --ckpt_path,
+    # README.md:70-80): an integer step in this run's dir, another run's
+    # directory (its latest step), a ckpt dir, or an explicit orbax step
+    # dir like <run>/ckpt/9000. None = latest in output_directory/ckpt.
+    ckpt_path: Optional[str] = None
 
 
 class Trainer:
@@ -116,6 +121,34 @@ class Trainer:
                                      or tts_config.use_accent]
 
     # ------------------------------------------------------------------
+    def _resolve_ckpt(self):
+        """cfg.ckpt_path -> (CheckpointManager, step or None)."""
+        p = self.cfg.ckpt_path
+        if p is None:
+            return self.ckpt, None
+        if isinstance(p, int) or (isinstance(p, str) and p.isdigit()):
+            return self.ckpt, int(p)          # step in this run's manager
+        path = os.path.abspath(os.path.expanduser(str(p)))
+        if os.path.isdir(os.path.join(path, "ckpt")):   # a run directory
+            return CheckpointManager(os.path.join(path, "ckpt")), None
+        base = os.path.basename(path.rstrip("/"))
+        if base.isdigit():                    # explicit orbax step dir
+            return CheckpointManager(os.path.dirname(path)), int(base)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"ckpt_path {p!r} does not exist")
+        return CheckpointManager(path), None  # a ckpt dir itself
+
+    def _restore_state(self, state, require: bool = False):
+        mgr, step = self._resolve_ckpt()
+        state, restored = mgr.restore(state, step=step)
+        if require and restored is None:
+            raise FileNotFoundError(
+                "no checkpoint found"
+                + (f" at ckpt_path={self.cfg.ckpt_path!r}"
+                   if self.cfg.ckpt_path is not None
+                   else f" under {self.ckpt.directory} (pass --ckpt_path)"))
+        return state, restored
+
     def _build_optimizer(self, params):
         tx = build_optimizer(self.cfg.optim_algo, self.cfg.learning_rate,
                              self.cfg.weight_decay, self.cfg.grad_clip_val)
@@ -223,10 +256,13 @@ class Trainer:
         start_step = 0
         restored = None
         if resume:
-            state, restored = self.ckpt.restore(state)
+            state, restored = self._restore_state(state)
             if restored is not None:
                 start_step = int(restored)
                 print(f"resumed from step {start_step}")
+                feat = getattr(dm, "featurizer", None)
+                if feat is not None and hasattr(feat, "set_noise_base"):
+                    feat.set_noise_base(start_step)
 
         if self.mesh is not None:
             state = pmesh.shard_state(state, self.mesh, self.tx)
@@ -443,8 +479,7 @@ class Trainer:
             items = list(dm.predict_items())
             sample = self._predict_init_batch(items)
             state = self._init_state(sample)
-            state, restored = self.ckpt.restore(state)
-            assert restored is not None, "predict requires a checkpoint"
+            state, _ = self._restore_state(state, require=True)
 
         items = list(dm.predict_items())
         batch = self._predict_batch(items)
@@ -492,8 +527,7 @@ class Trainer:
         if state is None:
             first = next(iter(loader))
             state = self._init_state(first)
-            state, restored = self.ckpt.restore(state)
-            assert restored is not None, "predict requires a checkpoint"
+            state, _ = self._restore_state(state, require=True)
         hop = self.cfg.hop_length
         paths = []
         for batch in loader:
@@ -550,8 +584,7 @@ class Trainer:
 
         if state is None:
             state = self._init_state(self._export_init_batch())
-            state, restored = self.ckpt.restore(state)
-            assert restored is not None, "export requires a checkpoint"
+            state, _ = self._restore_state(state, require=True)
         vocoder = voc_vars = None
         if (use_vocoder and self.cfg.vocoder_type == "hifigan"
                 and self.cfg.vocoder_checkpoint_path

@@ -22,7 +22,10 @@ def main():
     ap.add_argument("-c", "--config", action="append", required=True)
     ap.add_argument("-o", "--output", required=True)
     ap.add_argument("--batch-size", type=int, default=8)
-    ap.add_argument("--include-val", action="store_true", default=True)
+    ap.add_argument("--include-val", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="also cache validation utterances "
+                         "(--no-include-val for a train-only cache)")
     args = ap.parse_args()
 
     from radmmm_tpu.data.f0_cache import build_f0_cache

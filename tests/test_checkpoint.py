@@ -84,3 +84,57 @@ def test_freeze_wrap_blocks_updates(rng):
     mask = frozen_param_mask(state.params, frozen)
     assert all(jax.tree_util.tree_leaves(mask["decoder"]))
     assert not any(jax.tree_util.tree_leaves(mask["text_encoder"]))
+
+
+def test_ckpt_path_restore_variants(tmp_path, rng):
+    """--ckpt_path accepts an integer step (non-latest resume), a run dir,
+    an explicit orbax step dir, and fails loudly on bogus paths
+    (reference README.md:70-80 resume/predict protocol)."""
+    import pytest
+    from radmmm_tpu.training.loop import Trainer, TrainerConfig
+    model, tx, state, batch = make_state(rng)
+    run = tmp_path / "runA"
+    mgr = CheckpointManager(str(run / "ckpt"))
+    mgr.save(2, state)
+    bumped = dataclasses.replace(
+        state, params=jax.tree_util.tree_map(lambda x: x + 1.0,
+                                             state.params))
+    mgr.save(5, bumped)
+
+    def trainer_with(ckpt_path, outdir):
+        tc = TrainerConfig(output_directory=str(outdir),
+                           ckpt_path=ckpt_path)
+        return Trainer(tiny_config(), LossConfig(n_group_size=2), tc)
+
+    def leaf(s):
+        return np.asarray(s.params["text_embeddings"]["embedding"])
+
+    # default: latest step from this run's own dir
+    t = trainer_with(None, run)
+    got, step = t._restore_state(state)
+    assert step == 5 and np.allclose(leaf(got), leaf(bumped))
+
+    # integer step: resume from a non-latest checkpoint
+    t = trainer_with("2", run)
+    got, step = t._restore_state(state)
+    assert step == 2 and np.allclose(leaf(got), leaf(state))
+
+    # another run's directory -> its latest step
+    t = trainer_with(str(run), tmp_path / "runB")
+    got, step = t._restore_state(state)
+    assert step == 5 and np.allclose(leaf(got), leaf(bumped))
+
+    # explicit orbax step dir
+    t = trainer_with(str(run / "ckpt" / "2"), tmp_path / "runC")
+    got, step = t._restore_state(state)
+    assert step == 2 and np.allclose(leaf(got), leaf(state))
+
+    # require=True with no checkpoint anywhere -> loud failure
+    t = trainer_with(None, tmp_path / "runD")
+    with pytest.raises(FileNotFoundError):
+        t._restore_state(state, require=True)
+
+    # nonexistent explicit path -> loud failure (not silent-latest)
+    t = trainer_with(str(tmp_path / "nope"), tmp_path / "runE")
+    with pytest.raises(FileNotFoundError):
+        t._restore_state(state)

@@ -73,9 +73,12 @@ def test_two_process_ddp_fit(tmp_path):
                os.environ.get("JAX_COMPILATION_CACHE_DIR",
                               "/root/.jax_test_cache")}
 
-    # one retry with a fresh port + run dir: coordination-service handshakes
-    # are sensitive to extreme host load (single-core CI boxes running the
-    # whole suite); a genuine correctness regression fails both attempts
+    # one retry with a fresh port + run dir, gated on the failure being a
+    # known coordination/port race (single-core CI boxes under load): a
+    # genuine correctness regression fails immediately with its output
+    RETRYABLE = ("DEADLINE_EXCEEDED", "UNAVAILABLE", "coordination",
+                 "barrier", "failed to connect", "Connection refused",
+                 "address already in use", "Address already in use")
     outdir = None
     for attempt in range(2):
         with socket.socket() as s:
@@ -94,9 +97,13 @@ def test_two_process_ddp_fit(tmp_path):
         outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
         if all(p.returncode == 0 for p in procs):
             break
-        if attempt == 1:
+        failed = [o for p, o in zip(procs, outs) if p.returncode != 0]
+        retryable = any(any(pat in o for pat in RETRYABLE) for o in failed)
+        if attempt == 1 or not retryable:
             for p, o in zip(procs, outs):
                 assert p.returncode == 0, o[-4000:]
+        print(f"retrying multi-host fit: attempt {attempt} hit a known "
+              "coordination race:\n" + failed[0][-1500:])
 
     results = {}
     for i in range(2):
