@@ -235,9 +235,26 @@ def translate_reference_data_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
                 return v.get("datasets", v) if isinstance(v, dict) else v
         return None
 
+    # a `dataset_recipe:` JSON (datasets/22khz-*.json) expands into the
+    # train/val dataset dicts when no explicit filelist sections are given
+    # (radmmm_tpu/data/recipes.py)
+    train_config = datasets_of("training_files", "trainset_config")
+    val_config = datasets_of("validation_files", "valset_config")
+    recipe = init.get("dataset_recipe")
+    if recipe:
+        from radmmm_tpu.data.recipes import recipe_dataset_configs
+        root = init.get("dataset_recipe_audio_root")
+        fbd = init.get("dataset_recipe_filelist_basedir", "datasets/")
+        if not train_config:
+            train_config = recipe_dataset_configs(
+                recipe, "train", audio_root=root, filelist_basedir=fbd)
+        if not val_config:
+            val_config = recipe_dataset_configs(
+                recipe, "val", audio_root=root, filelist_basedir=fbd)
+
     return dict(
-        train_config=datasets_of("training_files", "trainset_config") or {},
-        val_config=datasets_of("validation_files", "valset_config"),
+        train_config=train_config or {},
+        val_config=val_config,
         batch_size=init.get("batchsize", init.get("batch_size", 8)),
         symbol_set=init.get("symbol_set",
                             "radmmm_phonemizer_marker_segregated"),
