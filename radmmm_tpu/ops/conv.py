@@ -60,19 +60,38 @@ def calculate_gain(nonlinearity: str) -> float:
 
 def conv1d_same(x: jax.Array, kernel: jax.Array, dilation: int = 1,
                 padding: Optional[int] = None) -> jax.Array:
-    """(B, T, Cin) x (K, Cin, Cout) -> (B, T', Cout), zero padding."""
+    """(B, T, Cin) x (K, Cin, Cout) -> (B, T', Cout), zero padding.
+
+    bf16 mode casts BOTH operands to bf16 before the conv (f32 params stay
+    the master copy; accumulation stays f32 via preferred_element_type).
+    An explicit cast — not just Precision.DEFAULT — halves the HBM bytes
+    of weight reads and of the activations XLA saves for the backward
+    pass, which is where the HBM-bound train step's bytes live
+    (the dominant cost: WN conv stacks, decoders.py:184-196).
+    """
     k = kernel.shape[0]
     if padding is None:
         padding = dilation * (k - 1) // 2
-    return jax.lax.conv_general_dilated(
+    bf16 = (_PRECISION is jax.lax.Precision.DEFAULT
+            and _os.environ.get("RADMMM_BF16_CAST", "1") != "0")
+    if bf16:
+        # bf16 in/out: the MXU accumulates in f32 internally either way,
+        # and a bf16 output dtype keeps the backward pass pure-bf16 (a f32
+        # preferred_element_type would make the conv-transpose VJP
+        # mixed-dtype). The f32 upcast below fuses into whatever consumes
+        # the conv.
+        x = x.astype(jnp.bfloat16)
+        kernel = kernel.astype(jnp.bfloat16)
+    out = jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(1,),
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         precision=_PRECISION,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.bfloat16 if bf16 else jnp.float32,
     )
+    return out.astype(jnp.float32) if bf16 else out
 
 
 class MaskedConv1d(nn.Module):
