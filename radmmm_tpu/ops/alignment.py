@@ -24,6 +24,116 @@ import numpy as np
 
 _NEG_INF = -1e30
 
+# MAS backend: 'pallas' runs the whole Viterbi DP + backtrack as ONE TPU
+# kernel with the lattice resident in VMEM (no per-row scan overhead);
+# 'scan' is the portable lax.scan path (CPU tests, interpret mode).
+import os as _os
+_MAS_BACKEND = _os.environ.get("RADMMM_MAS_BACKEND", "auto")
+
+
+def set_mas_backend(backend: str) -> None:
+    """'auto' (pallas on TPU, scan elsewhere) | 'pallas' | 'scan'."""
+    global _MAS_BACKEND
+    assert backend in ("auto", "pallas", "scan")
+    _MAS_BACKEND = backend
+
+
+def _use_pallas() -> bool:
+    if _MAS_BACKEND == "auto":
+        return jax.default_backend() == "tpu"
+    return _MAS_BACKEND == "pallas"
+
+
+def _mas_kernel(logattn_ref, mlens_ref, start_ref, out_ref,
+                logp_scr, choice_scr, cur_scr):
+    """Whole-batch Viterbi DP + backtrack in one kernel, VMEM-resident.
+
+    logattn: (T_mel, B, L) text-masked log attention with row 0 already
+    restricted to token 0; mlens: (B, L) broadcast mel lengths;
+    start: (B, L) one-hot of text_len-1. out: (T_mel, B, L) hard rows.
+    The sequential DP is two fori_loops over mel rows — each iteration a
+    few (B, L) VPU ops on resident data, instead of a lax.scan step with
+    its per-iteration buffer shuffling.
+    """
+    import jax.lax as lax
+    from jax.experimental.pallas import tpu as pltpu
+
+    T_mel, B, L = logattn_ref.shape
+    lane = lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    logp_scr[:] = logattn_ref[0]
+
+    # all masks kept in f32 (Mosaic rejects i1-typed vector selects)
+    def fwd(i, _):
+        lp = logp_scr[:]
+        shifted = pltpu.roll(lp, 1, axis=1)            # log_p[:, j-1]
+        shifted = jnp.where(lane == 0, _NEG_INF, shifted)
+        chose = (shifted >= lp).astype(jnp.float32)    # tie -> diagonal
+        best = jnp.maximum(shifted, lp)
+        rv = (mlens_ref[:] > i).astype(jnp.float32)    # (B, L) row valid
+        logp_scr[:] = rv * (logattn_ref[i] + best) + (1.0 - rv) * lp
+        choice_scr[i] = chose * rv
+        return 0
+
+    lax.fori_loop(1, T_mel, fwd, 0)
+
+    cur_scr[:] = start_ref[:]
+
+    def bwd(k, _):
+        i = T_mel - 1 - k                              # rows T_mel-1 .. 1
+        rv = (mlens_ref[:] > i).astype(jnp.float32)
+        cur = cur_scr[:]
+        out_ref[i] = cur * rv
+        took = (jnp.sum(choice_scr[i] * cur, axis=1, keepdims=True)
+                > 0.0).astype(jnp.float32)
+        moved = pltpu.roll(cur, L - 1, axis=1)         # one-hot j -> j-1
+        moved = jnp.where(lane == L - 1, 0.0, moved)
+        gate = rv * took
+        cur_scr[:] = gate * moved + (1.0 - gate) * cur
+        return 0
+
+    lax.fori_loop(0, T_mel - 1, bwd, 0)
+    # row 0: current token, plus the reference's trailing opt[0, 0] = 1
+    # write (alignment.py:58); zeroed for empty items
+    valid0 = (mlens_ref[:] > 0).astype(jnp.float32)
+    out_ref[0] = valid0 * jnp.maximum(cur_scr[:],
+                                      (lane == 0).astype(jnp.float32))
+
+
+def _mas_width1_pallas(attn_map, text_lens, mel_lens):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T_mel, T_text = attn_map.shape
+    L = max(128, ((T_text + 127) // 128) * 128)        # lane-pad text axis
+    j = jnp.arange(L)
+    text_valid = j[None, :] < text_lens[:, None]
+    log_attn = jnp.where(
+        text_valid[:, None, :],
+        jnp.log(jnp.maximum(
+            jnp.pad(attn_map, ((0, 0), (0, 0), (0, L - T_text))), 1e-45)),
+        _NEG_INF)
+    log_attn = jnp.swapaxes(log_attn, 0, 1)            # (T_mel, B, L)
+    row0 = jnp.where(j[None, :] == 0, log_attn[0], _NEG_INF)
+    log_attn = log_attn.at[0].set(row0)
+    mlens = jnp.broadcast_to(mel_lens[:, None], (B, L)).astype(jnp.int32)
+    start = jax.nn.one_hot(text_lens - 1, L, dtype=jnp.float32)
+
+    out = pl.pallas_call(
+        _mas_kernel,
+        out_shape=jax.ShapeDtypeStruct((T_mel, B, L), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, L), jnp.float32),           # log_p row
+            pltpu.VMEM((T_mel, B, L), jnp.float32),    # diag choices
+            pltpu.VMEM((B, L), jnp.float32),           # backtrack one-hot
+        ],
+        interpret=jax.default_backend() != "tpu",      # CPU test support
+    )(log_attn, mlens, start)
+    opt = jnp.swapaxes(out, 0, 1)[..., :T_text]
+    mel_valid = jnp.arange(T_mel)[None, :] < mel_lens[:, None]
+    return (opt * mel_valid[:, :, None]).astype(attn_map.dtype)
+
 
 @functools.partial(jax.jit, static_argnames=())
 def mas_width1(attn_map: jax.Array, text_lens: jax.Array,
@@ -35,6 +145,8 @@ def mas_width1(attn_map: jax.Array, text_lens: jax.Array,
     Returns hard alignment (B, T_mel, T_text) in {0,1}, zero outside the
     valid region.
     """
+    if _use_pallas():
+        return _mas_width1_pallas(attn_map, text_lens, mel_lens)
     B, T_mel, T_text = attn_map.shape
     j = jnp.arange(T_text)
     text_valid = j[None, :] < text_lens[:, None]              # (B, Ttext)

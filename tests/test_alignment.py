@@ -174,3 +174,26 @@ def test_length_regulator_zero_total(rng):
     out, lens = regulate_length(x, jnp.zeros((1, 3), jnp.int32), 4)
     assert int(lens[0]) == 0
     assert np.abs(np.asarray(out)).sum() == 0
+
+
+def test_mas_pallas_kernel_matches_scan(rng):
+    """The single-kernel Pallas MAS (VMEM-resident DP + backtrack) agrees
+    exactly with the scan path and the numpy oracle, incl. padded lanes,
+    short lengths, and the tie-break (interpret mode on CPU)."""
+    from radmmm_tpu.ops.alignment import set_mas_backend
+    B, T_mel, T_text = 3, 40, 17
+    attn = soft_attn(rng, B, T_mel, T_text)
+    text_lens = np.array([17, 9, 1], np.int32)
+    mel_lens = np.array([40, 23, 5], np.int32)
+    args = (jnp.asarray(attn), jnp.asarray(text_lens), jnp.asarray(mel_lens))
+    try:
+        set_mas_backend("pallas")
+        got = np.asarray(mas_width1(*args))
+    finally:
+        set_mas_backend("auto")
+    want = np.asarray(mas_width1(*args))
+    np.testing.assert_array_equal(got, want)
+    for b in range(B):
+        oracle = mas_width1_ref(attn[b, :mel_lens[b], :text_lens[b]])
+        np.testing.assert_array_equal(
+            got[b, :mel_lens[b], :text_lens[b]], oracle, err_msg=f"item {b}")
