@@ -51,6 +51,35 @@ SPEAKERS = {
     "spk_b": {"f0": 125.0, "formant_scale": 0.94, "breath": 0.002},
 }
 
+# --accents mode: accent = a systematic chain shift of the vowel space
+# (per-vowel formant-target multipliers), independent of speaker identity
+# (f0 base + vocal-tract formant_scale + breathiness). This mirrors the
+# real phenomenon the reference's formant-scaling augmentation exists to
+# disentangle (wave_transforms.py:34-79, tts_lightning_modules.py:127-136):
+# accent lives in vowel TARGETS, speaker in the global tract scaling.
+ACCENTS = {
+    "acc_x": {},                                    # neutral realization
+    "acc_y": {"a": (0.80, 1.28, 1.0), "e": (1.22, 0.88, 1.0),
+              "i": (1.00, 0.78, 1.0), "o": (1.28, 1.22, 1.0),
+              "u": (1.00, 1.35, 1.0), "l": (1.15, 0.85, 1.0)},
+}
+
+# 4 speakers, confounded with accent like real corpora: each speaker is
+# recorded in ONE accent only (a,b -> acc_x; c,d -> acc_y)
+ACCENT_SPEAKERS = {
+    "spk_a": {"f0": 210.0, "formant_scale": 1.10, "breath": 0.004,
+              "accent": "acc_x"},
+    "spk_b": {"f0": 125.0, "formant_scale": 0.94, "breath": 0.002,
+              "accent": "acc_x"},
+    "spk_c": {"f0": 180.0, "formant_scale": 1.04, "breath": 0.003,
+              "accent": "acc_y"},
+    "spk_d": {"f0": 145.0, "formant_scale": 0.99, "breath": 0.002,
+              "accent": "acc_y"},
+}
+# accent -> language tag: the data pipeline derives accent ids from the
+# dataset `language` field, as the reference does
+ACCENT_LANG = {"acc_x": "en_US", "acc_y": "en_UK"}
+
 
 def _resonant_noise(n, bands, rng, tilt=0.0):
     """White noise band-passed (FFT brick-wall) to the given (lo, hi)."""
@@ -85,14 +114,21 @@ def _voiced(n, f0_curve, formants, scale, rng):
     return out / (np.abs(out).max() + 1e-8)
 
 
-def synth_phone(ph, dur_s, f0_curve, spk, rng):
+def synth_phone(ph, dur_s, f0_curve, spk, rng, accent=None):
     n = int(dur_s * SR)
     scale = spk["formant_scale"]
+
+    def targets(base):
+        mult = (accent or {}).get(ph)
+        if mult is None:
+            return base
+        return tuple(f * m for f, m in zip(base, mult))
+
     if ph in VOWELS:
-        y = _voiced(n, f0_curve, VOWELS[ph], scale, rng)
+        y = _voiced(n, f0_curve, targets(VOWELS[ph]), scale, rng)
         amp = 0.5
     elif ph in LIQUIDS:
-        y = _voiced(n, f0_curve, LIQUIDS[ph], scale, rng)
+        y = _voiced(n, f0_curve, targets(LIQUIDS[ph]), scale, rng)
         amp = 0.3
     elif ph in NASALS:
         y = _voiced(n, f0_curve, (NASALS[ph], 2500), scale, rng)
@@ -120,7 +156,7 @@ def synth_phone(ph, dur_s, f0_curve, spk, rng):
     return amp * y * env
 
 
-def synth_utterance(words, spk, rng):
+def synth_utterance(words, spk, rng, accent=None):
     """Concatenate phone renditions with declination F0 and word gaps."""
     phones = []
     for w in words:
@@ -149,7 +185,7 @@ def synth_utterance(words, spk, rng):
         f0_curve = f0_base * (1 + 0.02 * np.sin(
             2 * np.pi * 5.5 * np.arange(n) / SR + rng.uniform(0, 6)))
         voiced = ph in VOWELS or ph in LIQUIDS or ph in NASALS
-        segs.append(synth_phone(ph, dur, f0_curve, spk, rng))
+        segs.append(synth_phone(ph, dur, f0_curve, spk, rng, accent))
         f0_log.append(f0_curve if voiced else np.zeros(n))
         idx += 1
     wav = np.concatenate(segs)
@@ -166,7 +202,13 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tiny", action="store_true",
                     help="minimal model config (fast compile, for tests)")
+    ap.add_argument("--accents", action="store_true",
+                    help="4-speaker x 2-accent corpus (speakers confounded "
+                         "with accents) + held-out cross combinations, for "
+                         "the augmentation disentanglement experiment")
     args = ap.parse_args()
+    if args.accents:
+        return main_accents(args)
 
     from scipy.io import wavfile
 
@@ -229,6 +271,146 @@ def main():
     print(f"corpus: {n_total} utts ({n_sec:.1f}s) in {root}")
     print(f"fit: python -m radmmm_tpu fit -c {root}/model.yaml "
           f"-c {root}/data.yaml")
+
+
+def main_accents(args):
+    """4 speakers x 2 accents, speaker-accent CONFOUNDED train/val splits
+    (each speaker recorded in its native accent only) plus held-out CROSS
+    combinations (every speaker rendered in the other accent) that only a
+    disentangled model can fit. The synthetic generator can realize any
+    (speaker, accent) pair, so the cross split has real ground truth —
+    the thing no natural corpus can provide."""
+    from scipy.io import wavfile
+
+    rng = np.random.default_rng(args.seed)
+    root = os.path.abspath(args.outdir)
+    wav_dir = os.path.join(root, "wavs", str(SR))
+    os.makedirs(wav_dir, exist_ok=True)
+
+    accents = list(ACCENTS)
+    rows = {a: {"train": [], "val": [], "cross": []} for a in accents}
+    spk_f0 = {s: [] for s in ACCENT_SPEAKERS}
+    i = 0
+
+    def render(spk, accent, split):
+        nonlocal i
+        n_words = int(rng.integers(3, 8))
+        words = [WORDS[int(rng.integers(0, len(WORDS)))]
+                 for _ in range(n_words)]
+        wav, f0s = synth_utterance(words, ACCENT_SPEAKERS[spk], rng,
+                                   ACCENTS[accent])
+        spk_f0[spk].append(f0s)
+        name = f"utt{i:04d}.wav"
+        wavfile.write(os.path.join(wav_dir, name), SR,
+                      (wav * 32767).astype(np.int16))
+        dur = wav.size / SR
+        rows[accent][split].append(
+            f"{name}|{' '.join(words)}|{spk}|neutral|{dur:.2f}")
+        i += 1
+
+    native = {a: [s for s, d in ACCENT_SPEAKERS.items()
+                  if d["accent"] == a] for a in accents}
+    per_spk_train = args.n_train // len(ACCENT_SPEAKERS)
+    per_spk_val = max(1, args.n_val // len(ACCENT_SPEAKERS))
+    per_spk_cross = max(2, args.n_val // len(ACCENT_SPEAKERS))
+    for accent in accents:
+        for spk in native[accent]:
+            for _ in range(per_spk_train):
+                render(spk, accent, "train")
+            for _ in range(per_spk_val):
+                render(spk, accent, "val")
+    # cross combinations: every speaker in its NON-native accent
+    for accent in accents:
+        other = accents[1 - accents.index(accent)]
+        for spk in native[other]:
+            for _ in range(per_spk_cross):
+                render(spk, accent, "cross")
+
+    for accent in accents:
+        for split, rws in rows[accent].items():
+            with open(os.path.join(root, f"{split}_{accent}.txt"), "w") as f:
+                f.write("\n".join(rws))
+
+    with open(os.path.join(root, "lexicon.tsv"), "w", encoding="utf-8") as f:
+        for w in WORDS:
+            f.write(f"{w}\tˈ{w}\n")
+
+    stats = {}
+    for s in ACCENT_SPEAKERS:
+        f0s = np.concatenate(spk_f0[s])
+        stats[s] = {
+            "f0_mean": float(f0s.mean()), "f0_std": float(f0s.std()),
+            "log_f0_mean": float(np.log(f0s).mean()),
+            "log_f0_std": float(np.log(f0s).std()),
+            "energy_mean": 0.5, "energy_std": 0.15,
+        }
+    with open(os.path.join(root, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+
+    _write_accent_configs(root, tiny=args.tiny)
+    n_utts = i
+    print(f"accent corpus: {n_utts} utts, {len(ACCENT_SPEAKERS)} speakers x "
+          f"{len(accents)} accents (confounded; cross splits held out) "
+          f"in {root}")
+
+
+def _accent_dataset(root, accent, split):
+    return {
+        "basedir": os.path.join(root, "wavs"),
+        "sampling_rate": SR,
+        "filelist_basedir": root,
+        "filelist": f"{split}_{accent}.txt",
+        "language": ACCENT_LANG[accent],
+        "phonemized": False,
+    }
+
+
+def _write_accent_configs(root: str, tiny: bool = False):
+    """model/data yamls for the 4x2 accent corpus + an `aug.yaml` overlay
+    that turns on the formant-scaling augmentation (the reference's
+    opensource recipe settings: none/0.9/1.1,
+    RADMMM_opensource_data_config_phonemizerless.yaml wave_aug_config)."""
+    import yaml
+    _write_configs(root, tiny=tiny)  # base model.yaml/data.yaml, then edit
+    with open(os.path.join(root, "model.yaml")) as f:
+        model_cfg = yaml.safe_load(f)
+    m = model_cfg["model"]
+    m.update(n_speakers=4, n_accents=2, n_augmentations=0)
+    # the cross-covariance regularizer stays OFF so the measured
+    # disentanglement comes from the augmentation, not the loss term
+    model_cfg["trainer"]["val_prompts_path"] = None
+    with open(os.path.join(root, "model.yaml"), "w") as f:
+        yaml.safe_dump(model_cfg, f)
+
+    with open(os.path.join(root, "data.yaml")) as f:
+        data_cfg = yaml.safe_load(f)
+    init = data_cfg["data"]["init_args"]
+    # both accents share the identity lexicon; accent id comes from the
+    # dataset `language` tag, so en_UK needs its own phonemizer entry
+    init["phonemizer_cfg"] = {
+        lang: os.path.join(root, "lexicon.tsv")
+        for lang in ACCENT_LANG.values()}
+    init["trainset_config"] = {
+        f"demo_{a}": _accent_dataset(root, a, "train") for a in ACCENTS}
+    init["valset_config"] = {
+        f"demo_{a}": _accent_dataset(root, a, "val") for a in ACCENTS}
+    with open(os.path.join(root, "data.yaml"), "w") as f:
+        yaml.safe_dump(data_cfg, f)
+
+    aug_cfg = {
+        "model": {"n_augmentations": 2},
+        "data": {"init_args": {
+            "use_wave_augmentations": True,
+            "wave_aug_config": {
+                "aug_types": ["none", "scale_formant", "scale_formant"],
+                "aug_scales": [1.0, 0.9, 1.1],
+                "aug_probabilities": [0.6, 0.2, 0.2],
+                "randomize_transform": True,
+            },
+        }},
+    }
+    with open(os.path.join(root, "aug.yaml"), "w") as f:
+        yaml.safe_dump(aug_cfg, f)
 
 
 def _write_configs(root: str, tiny: bool = False):
