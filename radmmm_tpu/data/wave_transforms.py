@@ -280,17 +280,23 @@ class WaveAugmentations:
         return f
 
     def apply(self, audio: np.ndarray, factors: dict) -> np.ndarray:
-        """Apply sampled factors to (T,) audio on host via the jitted DSP."""
-        x = jnp.asarray(audio)[None, :]
-        T = x.shape[1]
-        if "formant" in factors and abs(factors["formant"] - 1.0) > 1e-4:
-            x = formant_shift(x, factors["formant"], T)
-        if "pitch" in factors and abs(factors["pitch"] - 1.0) > 1e-4:
-            x = pitch_shift(x, factors["pitch"], T)
-        if "duration" in factors and abs(factors["duration"] - 1.0) > 1e-4:
-            T2 = int(T * factors["duration"])
-            x = duration_scale(x, factors["duration"], T2)
-        return np.asarray(x[0])
+        """Apply sampled factors to (T,) audio on host via the jitted DSP.
+
+        Pinned to the CPU backend: augmentation is loader-thread data work —
+        dispatching it to the accelerator would steal device time from the
+        train step (and the relay-attached TPU lacks the irfft kernels the
+        envelope estimate uses)."""
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            x = jnp.asarray(audio)[None, :]
+            T = x.shape[1]
+            if "formant" in factors and abs(factors["formant"] - 1.0) > 1e-4:
+                x = formant_shift(x, factors["formant"], T)
+            if "pitch" in factors and abs(factors["pitch"] - 1.0) > 1e-4:
+                x = pitch_shift(x, factors["pitch"], T)
+            if "duration" in factors and abs(factors["duration"] - 1.0) > 1e-4:
+                T2 = int(T * factors["duration"])
+                x = duration_scale(x, factors["duration"], T2)
+            return np.asarray(x[0])
 
     def remap_speaker_id(self, speaker_id: int, aug_index: int,
                          n_speakers: int) -> int:

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import functools
 import os
 import time
 from typing import Any, Dict, Optional
@@ -216,6 +217,16 @@ class Trainer:
             self._step_cache[key] = jax.jit(fn, donate_argnums=0)
         return self._step_cache[key]
 
+    def _jitted(self, name: str, make_fn):
+        """One jitted callable per named sample/predict path, reused across
+        validations — jax.jit's own shape-keyed cache handles the bucketed
+        batch shapes, so each shape compiles once instead of dispatching
+        the full model eagerly (~27 ms/dispatch on a relay-attached TPU
+        makes an eager forward thousands of times slower than one call)."""
+        if name not in self._step_cache:
+            self._step_cache[name] = jax.jit(make_fn())
+        return self._step_cache[name]
+
     # ------------------------------------------------------------------
     def save_current_code(self):
         """Tar the framework sources into the run dir (utils.py:44-51)."""
@@ -354,20 +365,26 @@ class Trainer:
                          max_prompts: int = 4):
         """Synthesize fixed prompts end-to-end and log the audio."""
         from radmmm_tpu.data.dataset import TextOnlyData
-        tod = TextOnlyData(self.cfg.val_prompts_path, dm.tp,
-                           dm.trainset.speaker_ids, dm.trainset.accent_ids)
-        items = [tod[i] for i in range(min(len(tod), max_prompts))]
+        if not hasattr(self, "_tts_prompts"):
+            tod = TextOnlyData(self.cfg.val_prompts_path, dm.tp,
+                               dm.trainset.speaker_ids,
+                               dm.trainset.accent_ids)
+            self._tts_prompts = [tod[i]
+                                 for i in range(min(len(tod), max_prompts))]
+        items = self._tts_prompts
         # config check: flax submodules aren't attributes outside apply()
         if not items or self.model.config.duration_predictor is None:
             return
         batch = self._predict_batch(items)
-        out = self.model.apply(
+        infer = self._jitted("tts_infer", lambda: functools.partial(
+            self.model.apply, sigma=self.cfg.sigma_infer,
+            max_frames=self.cfg.max_infer_frames, method=TTSModel.infer))
+        out = infer(
             state.model_variables(), jax.random.key(self.cfg.seed),
             batch["text"], batch["text_lens"], batch["spk_id"],
             accent_ids=batch["accent_id"],
             f0_mean=batch["speaker_f0_mean"],
-            f0_std=batch["speaker_f0_std"], sigma=self.cfg.sigma_infer,
-            max_frames=self.cfg.max_infer_frames, method=TTSModel.infer)
+            f0_std=batch["speaker_f0_std"])
         audio = self._vocode(out["mel"])
         lens = np.asarray(out["lens"].lengths)
         for i, item in enumerate(items):
@@ -392,9 +409,9 @@ class Trainer:
             batch_dev = self._put_batch(batch, train=False)
         if batch_dev is None:
             return
-        outputs = self.model.apply(state.model_variables(), batch_dev,
-                                   binarize=True, train=False,
-                                   mutable=False)
+        fwd = self._jitted("val_forward", lambda: functools.partial(
+            self.model.apply, binarize=True, train=False, mutable=False))
+        outputs = fwd(state.model_variables(), batch_dev)
         attn = np.asarray(outputs["attn"])[0]
         attn_soft = np.asarray(outputs["attn_soft"])[0]
         in_len = int(batch["input_lengths"][0])
@@ -426,9 +443,9 @@ class Trainer:
             self.logger.image("val/attributes",
                               plot_curves_to_numpy(curves), step)
         # reconstruction (analysis-synthesis) sample
-        rec = self.model.apply(state.model_variables(), jax.random.key(0),
-                               batch_dev,
-                               method=TTSModel.reconstruct)
+        rec_fn = self._jitted("reconstruct", lambda: functools.partial(
+            self.model.apply, method=TTSModel.reconstruct))
+        rec = rec_fn(state.model_variables(), jax.random.key(0), batch_dev)
         mel_rec = np.asarray(rec["mel"])[0, :out_len]
         self.logger.image("val/mel_reconstructed",
                           plot_mel_to_numpy(mel_rec), step)
@@ -483,7 +500,10 @@ class Trainer:
 
         items = list(dm.predict_items())
         batch = self._predict_batch(items)
-        out = self.model.apply(
+        infer = self._jitted("predict_infer", lambda: functools.partial(
+            self.model.apply, sigma=self.cfg.sigma_infer,
+            max_frames=self.cfg.max_infer_frames, method=TTSModel.infer))
+        out = infer(
             state.model_variables(), jax.random.key(self.cfg.seed),
             batch["text"], batch["text_lens"], batch["spk_id"],
             decoder_speaker_ids=batch["decoder_spk_id"],
@@ -492,10 +512,7 @@ class Trainer:
             duration_speaker_ids=batch["duration_spk_id"],
             accent_ids=batch["accent_id"],
             f0_mean=batch["speaker_f0_mean"],
-            f0_std=batch["speaker_f0_std"],
-            sigma=self.cfg.sigma_infer,
-            max_frames=self.cfg.max_infer_frames,
-            method=TTSModel.infer)
+            f0_std=batch["speaker_f0_std"])
         audio = self._vocode(out["mel"])
         lens = np.asarray(out["lens"].lengths)
         hop = self.cfg.hop_length
@@ -530,11 +547,12 @@ class Trainer:
             state, _ = self._restore_state(state, require=True)
         hop = self.cfg.hop_length
         paths = []
+        rec_fn = self._jitted("reconstruct", lambda: functools.partial(
+            self.model.apply, method=TTSModel.reconstruct))
         for batch in loader:
-            rec = self.model.apply(state.model_variables(),
-                                   jax.random.key(self.cfg.seed),
-                                   device_batch(batch),
-                                   method=TTSModel.reconstruct)
+            rec = rec_fn(state.model_variables(),
+                         jax.random.key(self.cfg.seed),
+                         device_batch(batch))
             audio = self._vocode(rec["mel"])
             lens = np.asarray(rec["lens"].lengths)
             if jax.process_index() != 0:
