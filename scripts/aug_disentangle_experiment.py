@@ -116,6 +116,9 @@ def main():
                     default=os.path.join(ROOT, "examples", "aug_experiment"))
     ap.add_argument("--n-train", type=int, default=64)
     ap.add_argument("--n-val", type=int, default=16)
+    ap.add_argument("--reuse", action="store_true",
+                    help="skip arms whose result_<tag>.json already exists "
+                         "in the workdir (crash/interrupt recovery)")
     args = ap.parse_args()
 
     corpus = os.path.join(args.workdir, "corpus")
@@ -146,6 +149,12 @@ def main():
     for tag, extra in (("no_aug", []),
                        ("aug", ["-c", os.path.join(corpus, "aug.yaml")])):
         run_dir = os.path.join(args.workdir, f"run_{tag}")
+        result_path = os.path.join(args.workdir, f"result_{tag}.json")
+        if args.reuse and os.path.exists(result_path):
+            with open(result_path) as f:
+                results[tag] = json.load(f)
+            print(tag, "(reused)", json.dumps(results[tag]))
+            continue
         base = ["-c", os.path.join(corpus, "model.yaml"),
                 "-c", os.path.join(corpus, "data.yaml"), *extra,
                 f"--model.output_directory={run_dir}"]
@@ -162,6 +171,8 @@ def main():
             ([os.path.join(corpus, "aug.yaml")] if tag == "aug" else [])
         results[tag] = evaluate(cfgs, run_dir, cross_yaml)
         results[tag]["fit_seconds"] = round(fit_s, 1)
+        with open(result_path, "w") as f:
+            json.dump(results[tag], f)
         print(tag, json.dumps(results[tag]))
 
     os.makedirs(args.outdir, exist_ok=True)

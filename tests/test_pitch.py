@@ -117,3 +117,39 @@ def test_pyin_no_voicing_flicker():
     v = np.asarray(v)[0]
     assert np.abs(np.diff(v)).sum() <= 4  # ~2 real transitions + padding
     assert (np.asarray(f0)[0][v == 0] == 0).all()
+
+
+def test_pyin_matches_librosa_goldens():
+    """Device pYIN vs frozen librosa-0.9.2 goldens (assets/pyin_goldens.npz,
+    scripts/freeze_pyin_goldens.py — the transliterate->freeze->commit
+    pattern of the mel goldens). Tolerance-based: the device implementation
+    documents its approximations (20 thresholds, 5 bins/semitone, separable
+    transitions), so we assert voicing F1 and cents agreement on the
+    utterance, not bit equality. Reference call: data.py:349-361."""
+    import os
+    from radmmm_tpu.data.pitch import pyin_f0
+    path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                        "pyin_goldens.npz")
+    g = np.load(path)
+    sr, frame_length, _, hop_length, fmin, fmax = g["params"]
+    f0, voiced, _ = pyin_f0(
+        jnp.asarray(g["audio"])[None, :], sampling_rate=int(sr),
+        frame_length=int(frame_length), hop_length=int(hop_length),
+        f0_min=float(fmin), f0_max=float(fmax))
+    f0 = np.asarray(f0)[0]
+    voiced = np.asarray(voiced)[0] > 0
+    g_voiced = g["voiced_flag"] > 0
+    assert f0.shape == g["f0"].shape
+
+    # voicing agreement: F1 over the librosa-voiced frames
+    tp = float((voiced & g_voiced).sum())
+    prec = tp / max(voiced.sum(), 1)
+    rec = tp / max(g_voiced.sum(), 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    assert f1 > 0.90, (prec, rec, f1)
+
+    # pitch agreement in cents where both agree the frame is voiced
+    both = voiced & g_voiced
+    cents = 1200 * np.abs(np.log2(f0[both] / g["f0"][both]))
+    assert np.median(cents) < 20, np.median(cents)
+    assert np.mean(cents) < 35, np.mean(cents)
