@@ -24,7 +24,8 @@ class DataLoader:
                  num_threads: int = 4, prefetch: int = 2, seed: int = 0,
                  hop_length: int = 256, drop_last: bool = False,
                  process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 uniform_shape: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.featurizer = featurizer
@@ -65,6 +66,14 @@ class DataLoader:
                 [dataset.encoded_text_length(i)
                  for i in range(len(dataset.data))], np.int64)
             self._warned_drop = False
+            # validation loaders schedule ONE dataset-global shape: with few
+            # batches per epoch, per-bucket shapes rarely pair up into full
+            # process_count rounds, silently dropping most (or all) of the
+            # val set. Uniform padding trades a little compute for losing at
+            # most process_count-1 tail batches.
+            self._uniform_shape = uniform_shape
+        else:
+            self._uniform_shape = False
 
     def __len__(self):
         """Batches this process yields per epoch. Multi-host: simulated
@@ -87,8 +96,9 @@ class DataLoader:
 
     def _shape_key(self, indices):
         from radmmm_tpu.data.collate import round_up
-        frames = round_up(int(self._sched_frames[indices].max()), 64)
-        text = round_up(int(self._sched_text[indices].max()), 16)
+        sel = slice(None) if self._uniform_shape else indices
+        frames = round_up(int(self._sched_frames[sel].max()), 64)
+        text = round_up(int(self._sched_text[sel].max()), 16)
         return (len(indices), frames, text)
 
     def _my_batches(self):

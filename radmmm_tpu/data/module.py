@@ -95,7 +95,8 @@ class AudioDataModule:
         return DataLoader(self.valset, self.batch_size, shuffle=False,
                           featurizer=self.featurizer,
                           num_threads=self.num_threads,
-                          hop_length=self.featurizer.hop_length)
+                          hop_length=self.featurizer.hop_length,
+                          uniform_shape=True)
 
     def predict_items(self):
         for i in range(len(self.predictset)):

@@ -402,7 +402,15 @@ class Trainer:
         if self.mesh is not None:
             # replicate the sample batch: outputs stay fully addressable on
             # every process, so the host-side plotting below works on
-            # multi-host too (the metrics val path stays batch-sharded)
+            # multi-host too (the metrics val path stays batch-sharded).
+            # Replicated global arrays must hold IDENTICAL values on every
+            # process; each process's loader yields a *different* (same-
+            # shaped) local batch, so broadcast rank 0's batch first and
+            # plot from the broadcast copy.
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                batch = multihost_utils.broadcast_one_to_all(
+                    jax.tree.map(np.asarray, device_batch(batch)))
             batch_dev = jax.device_put(device_batch(batch),
                                        pmesh.replicated(self.mesh))
         else:

@@ -40,10 +40,10 @@ from radmmm_tpu.utils.config import load_configs
 cfg = load_configs([{model_yaml!r}, {data_yaml!r}])
 cfg["model"]["output_directory"] = {outdir!r}
 cfg["data"]["init_args"]["batchsize"] = 4
-cfg["trainer"].update(max_steps=3, val_check_interval=1000,
+cfg["trainer"].update(max_steps=3, val_check_interval=3,
                       n_data=8, n_model=1, save_code_snapshot=False,
                       save_val_artifacts=False, val_prompts_path=None,
-                      log_interval=1)
+                      log_interval=1, griffin_lim_iters=2)
 dm, trainer = build_all(cfg)
 state = trainer.fit(dm, resume=False)
 leaf = np.asarray(state.params["text_embeddings"]["embedding"])
@@ -63,7 +63,7 @@ def test_two_process_ddp_fit(tmp_path):
     corpus = tmp_path / "corpus"
     subprocess.run(
         [sys.executable, os.path.join(ROOT, "scripts/make_demo_corpus.py"),
-         str(corpus), "--n-train", "24", "--n-val", "2", "--tiny"],
+         str(corpus), "--n-train", "24", "--n-val", "8", "--tiny"],
         check=True, cwd=ROOT, env={**os.environ, "JAX_PLATFORMS": ""})
 
     env = {**os.environ,
@@ -119,4 +119,12 @@ def test_two_process_ddp_fit(tmp_path):
     # rank-0-only logging
     assert results[0]["logger_enabled"] is True
     assert results[1]["logger_enabled"] is False
-    assert os.path.exists(os.path.join(outdir, "tb", "metrics.jsonl"))
+    metrics_path = os.path.join(outdir, "tb", "metrics.jsonl")
+    assert os.path.exists(metrics_path)
+    # validation ran at step 3 on the 2-process mesh: scalar metrics from
+    # the sharded val path AND a sample image from _log_val_samples (which
+    # broadcasts rank 0's batch before replicating — different per-process
+    # batches must never be device_put into a replicated sharding)
+    with open(metrics_path) as f:
+        rows = [json.loads(line) for line in f]
+    assert any(k.startswith("val/") for r in rows for k in r), rows
