@@ -123,12 +123,19 @@ def main(argv: List[str] = None):
         trainer.fit(dm)
     elif args.subcommand == "export":
         ex = cfg.get("export", {})
+        buckets = ex.get("buckets")
+        if isinstance(buckets, str):  # "--export.buckets=8x96,4x48,1x32"
+            buckets = [tuple(int(d) for d in b.split("x"))
+                       for b in buckets.split(",") if b]
+        elif buckets:
+            buckets = [tuple(int(d) for d in b) for b in buckets]
         trainer.export(
             ex.get("path", os.path.join(trainer.cfg.output_directory,
                                         "tts_export.bin")),
             batch_size=ex.get("batch_size", 8),
             max_text=ex.get("max_text", 96),
-            use_vocoder=ex.get("use_vocoder", True))
+            use_vocoder=ex.get("use_vocoder", True),
+            buckets=buckets)
     else:
         trainer.predict(dm)
 

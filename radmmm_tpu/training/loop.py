@@ -600,7 +600,7 @@ class Trainer:
         }
 
     def export(self, path: str, batch_size: int = 8, max_text: int = 96,
-               use_vocoder: bool = True,
+               use_vocoder: bool = True, buckets=None,
                state: Optional[TrainState] = None) -> int:
         """AOT-export the trained TTS function to a self-contained serving
         artifact (radmmm_tpu/serving.py). Requires a checkpoint unless a
@@ -623,9 +623,11 @@ class Trainer:
                        batch_size=batch_size, max_text=max_text,
                        sigma=self.cfg.sigma_infer,
                        max_frames=self.cfg.max_infer_frames,
-                       vocoder=vocoder, vocoder_vars=voc_vars)
-        print(f"exported {'audio' if vocoder else 'mel'} TTS artifact "
-              f"({n / 1e6:.1f} MB) to {path}")
+                       vocoder=vocoder, vocoder_vars=voc_vars,
+                       buckets=buckets)
+        kind = "audio" if vocoder else "mel"
+        what = (f"{len(buckets)}-bucket {kind}" if buckets else kind)
+        print(f"exported {what} TTS artifact ({n / 1e6:.1f} MB) to {path}")
         return n
 
     def _export_init_batch(self):

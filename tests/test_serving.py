@@ -50,6 +50,68 @@ def test_export_roundtrip_matches_live(tmp_path):
     assert not np.allclose(np.asarray(mel2), np.asarray(mel_served))
 
 
+def test_multibucket_export_dispatch(tmp_path):
+    """Multi-bucket artifact: shape-dispatch to the smallest covering
+    bucket, batch/text padding trimmed on return, matches live inference."""
+    import pytest
+
+    rng = np.random.default_rng(1)
+    model = TTSModel(config=tiny_config())
+    batch = tiny_batch(rng)
+    variables = jax.jit(
+        functools.partial(model.init, binarize=False, train=True))(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            batch)
+
+    path = str(tmp_path / "tts_multi.bin")
+    n = export_tts(model, variables, path, sigma=0.8, max_frames=64,
+                   buckets=[(2, 12), (1, 8)])
+    assert n > 20_000
+
+    served = load_tts(path)
+    assert served.buckets == [(1, 8), (2, 12)]
+
+    def live_at(B, T):
+        return jax.jit(make_tts_fn(model, variables, sigma=0.8,
+                                   max_frames=64))
+
+    # exact small-bucket request
+    args1 = (rng.integers(1, 30, (1, 8)).astype(np.int32),
+             np.asarray([8], np.int32), np.asarray([1], np.int32),
+             np.asarray([0], np.int32), np.asarray([5.0], np.float32),
+             np.asarray([0.3], np.float32), np.int32(3))
+    mel1, lens1 = served(*args1)
+    assert mel1.shape[0] == 1
+    mel1_live, lens1_live = live_at(1, 8)(*[jnp.asarray(a) for a in args1])
+    np.testing.assert_array_equal(np.asarray(lens1), np.asarray(lens1_live))
+    np.testing.assert_allclose(np.asarray(mel1), np.asarray(mel1_live),
+                               atol=1e-5)
+
+    # odd request (2, 10): dispatches to (2, 12), pads text, trims back;
+    # must equal live inference on the manually-padded batch
+    text = rng.integers(1, 30, (2, 10)).astype(np.int32)
+    args2 = (text, np.asarray([10, 7], np.int32),
+             np.asarray([0, 2], np.int32), np.asarray([0, 1], np.int32),
+             np.asarray([5.0, 5.2], np.float32),
+             np.asarray([0.3, 0.4], np.float32), np.int32(5))
+    mel2, lens2 = served(*args2)
+    assert mel2.shape[0] == 2
+    text_pad = np.zeros((2, 12), np.int32)
+    text_pad[:, :10] = text
+    mel2_live, lens2_live = live_at(2, 12)(
+        jnp.asarray(text_pad), *[jnp.asarray(a) for a in args2[1:]])
+    np.testing.assert_array_equal(np.asarray(lens2), np.asarray(lens2_live))
+    np.testing.assert_allclose(np.asarray(mel2), np.asarray(mel2_live),
+                               atol=1e-5)
+
+    # oversize request fails loudly
+    with pytest.raises(ValueError, match="exceeds every exported bucket"):
+        served(np.ones((3, 8), np.int32), np.asarray([8, 8, 8], np.int32),
+               np.zeros((3,), np.int32), np.zeros((3,), np.int32),
+               np.full((3,), 5.0, np.float32), np.full((3,), 0.3, np.float32),
+               np.int32(0))
+
+
 def test_trainer_export_from_checkpoint(tmp_path):
     """CLI-facing path: Trainer.export restores the checkpoint and writes a
     loadable artifact (mel-only: no vocoder ckpt configured)."""
