@@ -176,6 +176,7 @@ def load_tts(path: str):
             return exported.call(*[jnp.asarray(a) for a in args])
 
         call.in_avals = exported.in_avals
+        call.out_avals = exported.out_avals
         call.platforms = exported.platforms
         call.buckets = [tuple(exported.in_avals[0].shape)]
         return call
@@ -193,6 +194,7 @@ def load_tts(path: str):
     call, buckets = _bucketed_call(exported_by_bucket)
     biggest = exported_by_bucket[buckets[-1]]
     call.in_avals = biggest.in_avals
+    call.out_avals = biggest.out_avals
     call.platforms = biggest.platforms
     call.buckets = buckets
     return call
