@@ -12,24 +12,51 @@ frames (RADMMM_train_config.yaml precision 32 / batch 8) — reported as
 mel-frames/sec/chip (the BASELINE.md primary metric's training half).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"train_mel_frames_per_sec_per_chip", "train_step_seconds"}.
+"train_mel_frames_per_sec_per_chip", "train_step_seconds", ...}.
+
+Timing methodology: the TPU sits behind a stdio relay whose per-dispatch
+RPC cost is unstable (27 ms healthy, multiple seconds degraded — measured
+both on this box). All throughput numbers therefore run n iterations
+inside ONE jitted fori_loop (n is a traced scalar, so a single executable
+serves every window) and are computed as (t(2K) - t(K)) / K: the constant
+relay cost cancels, leaving on-device time. The sync serving latencies
+(p50/p95) intentionally keep the dispatch cost — "relay_dispatch_ms" is
+reported alongside so tunnel and chip contributions are attributable.
 """
 from __future__ import annotations
 
 import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+# Persistent XLA compile cache: the bench compiles ~8 large programs
+# (three train-step variants, TTS+vocoder graphs, serving buckets); on a
+# cold cache that is most of the wall time. With the cache warm a full
+# bench run completes in a few minutes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
-def bench_training(precision: str = "f32", prefix: str = "train") -> dict:
-    """Train-step mel-frames/sec/chip, B=8 x 512 frames, binarized.
+
+def eprint(*a):
+    """Stage progress to stderr (stdout stays the one JSON line)."""
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_training(precision: str = "f32", prefix: str = "train",
+                   batch_size: int = 8) -> dict:
+    """Train-step mel-frames/sec/chip, B x 512 frames, binarized.
 
     precision 'f32' is the reference training regime
     (RADMMM_train_config.yaml precision 32); 'bf16' is the TPU-native
     regime (bf16 MXU matmuls, f32 accumulation/params/optimizer —
     demonstrated loss-parity on the overfit demo, examples/demo_run/).
+    batch_size 8 is the reference's per-device batch; a scaled-batch row
+    (B=32) shows the per-chip ceiling once weight/optimizer HBM traffic
+    (fixed per step) is amortized over 4x the activation work.
     """
     import jax
     import jax.numpy as jnp
@@ -40,7 +67,7 @@ def bench_training(precision: str = "f32", prefix: str = "train") -> dict:
                                           make_train_step)
 
     set_conv_precision(precision)
-    B, T_TEXT, T_MEL = 8, 96, 512
+    B, T_TEXT, T_MEL = batch_size, 96, 512
     # flow-step remat is bit-identical and faster in BOTH precisions on
     # this HBM-bound step (f32: 215 vs 283 ms; bf16: 64 vs 106 ms
     # round-3 surgery ablation): recomputing the WN stacks costs less than
@@ -72,31 +99,52 @@ def bench_training(precision: str = "f32", prefix: str = "train") -> dict:
     state = create_train_state(model, tx, batch, jax.random.key(0))
     cfg = LossConfig(n_group_size=2, cross_covariance_weight=1.0,
                      speaker_reg={"variance": 0.0, "covariance": 0.0})
-    # donate the state like the product Trainer does (training/loop.py):
-    # params/opt-state buffers are reused in place instead of copied
-    step = jax.jit(make_train_step(model, cfg, tx, binarize=True,
-                                   kl_on=True), donate_argnums=0)
+    step = make_train_step(model, cfg, tx, binarize=True, kl_on=True)
+
+    # The axon relay's dispatch RPC can block for SECONDS when the tunnel
+    # is degraded (measured 27 ms .. 4.3 s on the same chip), so per-
+    # dispatch timing measures the tunnel, not the TPU. Instead: run n
+    # steps inside ONE jitted fori_loop (n is a traced scalar — one
+    # executable serves every window size) and difference two windows:
+    #   step_s = (t(2K) - t(K)) / K
+    # The constant per-dispatch relay cost cancels exactly; what remains
+    # is pure on-device step time. State chains through the donated carry
+    # like the product Trainer's steady state.
+    def run_n(state, batch, key, n):
+        def body(i, carry):
+            st, _ = carry
+            st, metrics = step(st, batch, jax.random.fold_in(key, i))
+            return (st, metrics["loss"])
+        st, loss = jax.lax.fori_loop(
+            0, n, body, (state, jnp.zeros((), jnp.float32)))
+        return st, loss
+
+    runner = jax.jit(run_n, donate_argnums=0)
     key = jax.random.key(1)
-    # XLA cost analysis of the compiled step: FLOPs + HLO-level bytes
-    # accessed, the inputs to the MFU / HBM-roofline accounting
-    # (VERDICT round-2 next #1: report FLOPs, MFU, bytes)
-    ca = step.lower(state, batch, key).compile().cost_analysis()
+    # XLA cost analysis: the fori_loop body (= one train step) is counted
+    # once, which is exactly the per-step FLOPs/bytes wanted for the MFU
+    # and HBM-roofline accounting (VERDICT round-2 next #1)
+    ca = runner.lower(state, batch, key,
+                      jnp.asarray(2, jnp.int32)).compile().cost_analysis()
     flops = float(ca.get("flops", 0.0))
     bytes_accessed = float(ca.get("bytes accessed", 0.0))
-    state, metrics = step(state, batch, key)     # compile + warm
-    float(metrics["loss"])                        # force completion
-    iters = 10
-    # steady-state cadence: steps chain through the donated state; the loss
-    # is fetched once per window like the trainer's log_interval, not per
-    # step (a per-step host round trip is ~27 ms on this relay)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
-    frames_per_sec = B * T_MEL * iters / dt
-    step_s = dt / iters
-    del state, step
+    K = 30
+    state, loss = runner(state, batch, key, jnp.asarray(K, jnp.int32))
+    float(loss)                                   # compile + warm
+
+    def window(n):
+        nonlocal state, key
+        key = jax.random.fold_in(key, n)
+        t0 = time.perf_counter()
+        st, loss = runner(state, batch, key, jnp.asarray(n, jnp.int32))
+        float(loss)                               # force full completion
+        state = st
+        return time.perf_counter() - t0
+
+    t_k, t_2k = window(K), window(2 * K)
+    step_s = max(t_2k - t_k, 1e-6) / K
+    frames_per_sec = B * T_MEL / step_s
+    del state, runner
     # v5e peak: 197 TFLOP/s bf16 (MFU always quoted against bf16 peak so
     # precisions are comparable); ~819 GB/s HBM
     PEAK_FLOPS, PEAK_HBM = 197e12, 819e9
@@ -110,8 +158,26 @@ def bench_training(precision: str = "f32", prefix: str = "train") -> dict:
     }
 
 
+def measure_relay_rtt(n: int = 5) -> float:
+    """Median round-trip of a trivial dispatch+fetch, seconds. On this
+    box the TPU sits behind a stdio tunnel whose RPC cost varies 27 ms ..
+    seconds with orchestrator load; reporting it alongside the sync
+    serving latencies makes those numbers attributable (chip vs tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: (x * 2 + 1).sum())
+    float(f(jnp.arange(8.0)))                     # compile + warm
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(f(jnp.arange(8.0)))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
 def bench_serving(model, variables, vocoder, voc_vars,
-                  n_requests: int = 20, B: int = 8,
+                  n_requests: int = 12, B: int = 8,
                   max_frames: int = 800, hop: int = 256,
                   sr: int = 22050) -> dict:
     """Serving-shaped latency: REAL mixed-length texts (the vendored
@@ -122,6 +188,7 @@ def bench_serving(model, variables, vocoder, voc_vars,
     import os
     import jax
     import jax.numpy as jnp
+    from radmmm_tpu.models.tts import TTSModel
     from radmmm_tpu.text.processing import TextProcessing
 
     root = os.path.dirname(os.path.abspath(__file__))
@@ -131,7 +198,7 @@ def bench_serving(model, variables, vocoder, voc_vars,
         root, "datasets", "opensource", "LJSpeech",
         "ljs_audiopath_text_sid_emotion_duration_val_filelist_phonemized.txt")
     texts = [l.split("|")[1] for l in open(fl, encoding="utf-8")][:64]
-    enc = [tp.encode_text(t, "en_US", is_phonemized=True) for t in texts]
+    enc = [tp.encode_text(t, is_phonemized=True) for t in texts]
     enc = [e for e in enc if 8 <= len(e) <= 192]
     T_pad = 192
     rng = np.random.default_rng(0)
@@ -187,7 +254,14 @@ def main():
     from radmmm_tpu.ops.conv import set_conv_precision
 
     train_metrics = bench_training("f32", "train")
+    eprint("stage f32 train:", train_metrics)
     train_metrics.update(bench_training("bf16", "train_bf16"))
+    eprint("stage bf16 train:", {k: v for k, v in train_metrics.items()
+                                 if "bf16" in k})
+    train_metrics.update(bench_training("bf16", "train_bf16_b32",
+                                        batch_size=32))
+    eprint("stage bf16 b32 train:", {k: v for k, v in train_metrics.items()
+                                     if "b32" in k})
 
     # production inference setting: native bf16 MXU throughput with f32
     # accumulation (training default stays full f32 like the reference)
@@ -236,8 +310,7 @@ def main():
         voc_vars = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16), voc_vars)
 
-        @jax.jit
-        def run(v, vv, key):
+        def one(v, vv, key):
             out = model.apply(v, key, text, text_lens, speaker_ids,
                               accent_ids=accent_ids, f0_mean=f0_mean,
                               f0_std=f0_std, sigma=0.8,
@@ -247,40 +320,51 @@ def main():
             mel_groups = out["mel"].reshape(2, 16, MAX_FRAMES, 80) \
                 .astype(jnp.bfloat16)
             audio = jax.lax.map(lambda m: vocoder.apply(vv, m), mel_groups)
-            audio = audio.astype(jnp.float32)
             # reduce in-graph; fetching the scalar forces real completion
             # (the axon relay's block_until_ready returns before execution
             # finishes)
-            return jnp.sum(audio)
+            return jnp.sum(audio.astype(jnp.float32))
 
-        float(run(variables, voc_vars, jax.random.key(0)))  # compile+warm
-        iters = 10
-        # serving-style pipelining: keep the queue full (async dispatch),
-        # force completion of every batch at the end — throughput, not
-        # single-batch latency
-        t0 = time.perf_counter()
-        outs = [run(variables, voc_vars, jax.random.key(i + 1))
-                for i in range(iters)]
-        for o in outs:
-            float(o)
-        dt = time.perf_counter() - t0
-        frames = B * MAX_FRAMES * iters
-        return frames * HOP / SR / dt
+        # n batches inside one jit (traced n -> one executable), timed as
+        # t(2K)-t(K): the relay's per-dispatch blocking (27 ms healthy,
+        # seconds degraded) cancels out of the throughput number
+        @jax.jit
+        def run_n(v, vv, key, n):
+            def body(i, acc):
+                return acc + one(v, vv, jax.random.fold_in(key, i))
+            return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
+
+        K = 5
+        float(run_n(variables, voc_vars, jax.random.key(0),
+                    jnp.asarray(K, jnp.int32)))         # compile + warm
+
+        def window(n):
+            t0 = time.perf_counter()
+            float(run_n(variables, voc_vars, jax.random.key(n),
+                        jnp.asarray(n, jnp.int32)))
+            return time.perf_counter() - t0
+
+        t_k, t_2k = window(K), window(2 * K)
+        batch_s = max(t_2k - t_k, 1e-6) / K
+        return B * MAX_FRAMES * HOP / SR / batch_s
 
     # headline: HiFi-GAN v1 (512ch, rates (8,8,2,2)) — the reference's
     # serving vocoder, directly comparable
     rtf = measure(HiFiGANConfig())
+    eprint("stage rtf hifigan-v1:", round(rtf, 2))
     # iSTFTNet-style C8C8I head (arXiv:2203.02395): ~2x faster vocoding,
     # trainable via vocoder-fit (near-V1 quality per the paper)
     rtf_istft = measure(HiFiGANConfig(
         upsample_rates=(8, 8), upsample_kernel_sizes=(16, 16),
         gen_istft_n_fft=16, gen_istft_hop=4))
+    eprint("stage rtf istftnet:", round(rtf_istft, 2))
 
     # serving-shaped latency (real mixed-length LJS texts, B=8 sync)
     voc = Generator(config=HiFiGANConfig())
     vv = jax.jit(voc.init)(jax.random.key(7), jnp.zeros((1, 32, 80)))
     vv = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), vv)
     serving = bench_serving(model, variables, voc, vv)
+    eprint("stage serving:", serving)
 
     print(json.dumps({
         "metric": "tts_text_to_audio_rtf_b32",
@@ -288,6 +372,7 @@ def main():
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / 100.0, 3),
         "rtf_b32_istftnet_vocoder": round(rtf_istft, 2),
+        "relay_dispatch_ms": round(measure_relay_rtt() * 1e3, 1),
         **serving,
         **train_metrics,
     }))
