@@ -38,7 +38,16 @@ import numpy as np
 # cold cache that is most of the wall time. With the cache warm a full
 # bench run completes in a few minutes.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_bench_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+@functools.cache
+def _enable_compile_cache():
+    """Activate the persistent cache (env vars alone don't on this jax
+    build — the config must be set explicitly, see tests/conftest.py)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def eprint(*a):
@@ -66,6 +75,7 @@ def bench_training(precision: str = "f32", prefix: str = "train",
     from radmmm_tpu.training.step import (LossConfig, create_train_state,
                                           make_train_step)
 
+    _enable_compile_cache()
     set_conv_precision(precision)
     B, T_TEXT, T_MEL = batch_size, 96, 512
     # flow-step remat is bit-identical and faster in BOTH precisions on
@@ -253,6 +263,7 @@ def main():
     from radmmm_tpu.models.tts import TTSModel, default_radmmm_config
     from radmmm_tpu.ops.conv import set_conv_precision
 
+    _enable_compile_cache()
     train_metrics = bench_training("f32", "train")
     eprint("stage f32 train:", train_metrics)
     train_metrics.update(bench_training("bf16", "train_bf16"))
