@@ -53,37 +53,44 @@ def attention_ctc_loss(attn_logprob: jax.Array, text_lens: jax.Array,
     col_of_state = jnp.where(is_label, (s + 1) // 2, 0)  # (2S+1,)
     state_valid = s[None, :] <= 2 * text_lens[:, None]   # (B, 2S+1)
 
-    # alpha_0: blank0 or first label
-    emit0 = jnp.take_along_axis(
-        logp[:, 0, :], jnp.broadcast_to(col_of_state[None, :],
-                                        (B, n_states)), axis=1)
-    alpha0 = jnp.where((s[None, :] <= 1) & state_valid, emit0, _NEG_INF)
+    # hoist the per-state emission gather out of the serial DP: one
+    # vectorized gather over ALL frames (B, T_mel, 2S+1), so the scan body
+    # is pure banded arithmetic (the per-step gather was the dominant cost
+    # of the 511-iteration loop at the bench shapes)
+    emit_all = jnp.take_along_axis(
+        logp, jnp.broadcast_to(col_of_state[None, None, :],
+                               (B, T_mel, n_states)), axis=2)
 
-    def lse2(a, b):
-        m = jnp.maximum(a, b)
-        m_safe = jnp.maximum(m, _NEG_INF)
-        return m_safe + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe))
+    # alpha_0: blank0 or first label
+    alpha0 = jnp.where((s[None, :] <= 1) & state_valid, emit_all[:, 0],
+                       _NEG_INF)
+
+    skip_block = jnp.where(is_label[None, :], 0.0, _NEG_INF)  # (1, 2S+1)
 
     def step(alpha, inp):
-        logp_t, t_valid = inp                            # (B, T_text+1), (B,)
+        emit_t, t_valid = inp                            # (B, 2S+1), (B,)
         prev1 = jnp.pad(alpha, ((0, 0), (1, 0)),
                         constant_values=_NEG_INF)[:, :-1]
-        prev2 = jnp.pad(alpha, ((0, 0), (2, 0)),
-                        constant_values=_NEG_INF)[:, :-2]
-        acc = lse2(alpha, prev1)
         # skip transition only into label states (distinct labels)
-        acc = jnp.where(is_label[None, :], lse2(acc, prev2), acc)
-        emit = jnp.take_along_axis(
-            logp_t, jnp.broadcast_to(col_of_state[None, :], (B, n_states)),
-            axis=1)
-        new_alpha = jnp.where(state_valid, acc + emit, _NEG_INF)
+        prev2 = jnp.pad(alpha, ((0, 0), (2, 0)),
+                        constant_values=_NEG_INF)[:, :-2] + skip_block
+        # fused 3-way logsumexp over the band (one exp/log round)
+        m = jnp.maximum(jnp.maximum(alpha, prev1), prev2)
+        acc = m + jnp.log(jnp.exp(alpha - m) + jnp.exp(prev1 - m)
+                          + jnp.exp(prev2 - m))
+        new_alpha = jnp.where(state_valid, acc + emit_t, _NEG_INF)
         new_alpha = jnp.where(t_valid[:, None], new_alpha, alpha)
         return new_alpha, None
 
     t_idx = jnp.arange(1, T_mel)
     t_valid = t_idx[:, None] < mel_lens[None, :]         # (T_mel-1, B)
     alpha, _ = jax.lax.scan(step, alpha0,
-                            (jnp.swapaxes(logp[:, 1:], 0, 1), t_valid))
+                            (jnp.swapaxes(emit_all[:, 1:], 0, 1), t_valid),
+                            unroll=8)
+
+    def lse2(a, b):
+        m = jnp.maximum(a, b)
+        return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
 
     end_blank = jnp.take_along_axis(alpha, (2 * text_lens)[:, None],
                                     axis=1)[:, 0]

@@ -42,6 +42,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--tmel", type=int, default=512)
     args = ap.parse_args()
 
     import jax
@@ -54,7 +56,7 @@ def main():
     from radmmm_tpu.ops.alignment import mas_width1
 
     set_conv_precision("bf16" if args.bf16 else "f32")
-    B, T_TEXT, T_MEL = 8, 96, 512
+    B, T_TEXT, T_MEL = args.batch, 96, args.tmel
     it = args.iters
 
     model = TTSModel(config=default_radmmm_config())
