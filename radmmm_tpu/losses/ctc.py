@@ -11,6 +11,13 @@ States s in [0, 2S]: even = blank (attn column 0), odd s -> label (s+1)/2
 (attn column (s+1)/2). Final loss per item = -logsumexp(alpha[2S], alpha[2S-1]),
 divided by target length (torch CTCLoss reduction='mean' semantics for a
 batch of one), then averaged over items.
+
+Gradients use the classic alpha-beta posterior identity (what cuDNN CTC
+does) via custom_vjp instead of autodiff through the forward scan: the
+backward pass is one reverse beta scan of the same per-step cost as the
+forward, and d loss / d logits = (posterior - softmax) in closed form —
+roughly half the serial work of differentiating the unrolled DP, with no
+per-step residuals.
 """
 from __future__ import annotations
 
@@ -18,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _NEG_INF = -1e30
 
@@ -30,17 +38,18 @@ def _masked_log_softmax(x, valid, axis):
     return jnp.where(valid, x - lse, _NEG_INF)
 
 
-@functools.partial(jax.jit, static_argnames=("blank_logprob",))
-def attention_ctc_loss(attn_logprob: jax.Array, text_lens: jax.Array,
-                       mel_lens: jax.Array,
-                       blank_logprob: float = -1.0) -> jax.Array:
-    """attn_logprob: (B, T_mel, T_text) unnormalized log-probs
-    (post prior). Returns scalar loss (mean over batch)."""
-    B, T_mel, T_text = attn_logprob.shape
-    S = T_text                       # max target length
-    n_states = 2 * S + 1
+def _lse3(a, b, c):
+    """Fused 3-way logsumexp (one exp/log round over the DP band)."""
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m))
 
-    # prepend blank column, log_softmax over [blank] + valid text columns
+
+def _ctc_setup(attn_logprob, text_lens, blank_logprob):
+    """Shared fwd/bwd precomputation: masked log-softmax over
+    [blank] + valid text columns, per-state emissions, state masks."""
+    B, T_mel, T_text = attn_logprob.shape
+    n_states = 2 * T_text + 1
+
     logp = jnp.concatenate(
         [jnp.full((B, T_mel, 1), blank_logprob, attn_logprob.dtype),
          attn_logprob], axis=-1)
@@ -55,50 +64,159 @@ def attention_ctc_loss(attn_logprob: jax.Array, text_lens: jax.Array,
 
     # hoist the per-state emission gather out of the serial DP: one
     # vectorized gather over ALL frames (B, T_mel, 2S+1), so the scan body
-    # is pure banded arithmetic (the per-step gather was the dominant cost
-    # of the 511-iteration loop at the bench shapes)
+    # is pure banded arithmetic
     emit_all = jnp.take_along_axis(
         logp, jnp.broadcast_to(col_of_state[None, None, :],
                                (B, T_mel, n_states)), axis=2)
+    return logp, emit_all, is_label, state_valid, col_valid
 
-    # alpha_0: blank0 or first label
+
+def _alpha_scan(emit_all, is_label, state_valid, text_lens, mel_lens,
+                stack: bool):
+    """Forward DP. Returns (final alpha, all alphas (T,B,2S+1) if stack)."""
+    B, T_mel, n_states = emit_all.shape
+    s = jnp.arange(n_states)
     alpha0 = jnp.where((s[None, :] <= 1) & state_valid, emit_all[:, 0],
                        _NEG_INF)
-
+    # skip transition only into label states (distinct labels)
     skip_block = jnp.where(is_label[None, :], 0.0, _NEG_INF)  # (1, 2S+1)
 
     def step(alpha, inp):
         emit_t, t_valid = inp                            # (B, 2S+1), (B,)
         prev1 = jnp.pad(alpha, ((0, 0), (1, 0)),
                         constant_values=_NEG_INF)[:, :-1]
-        # skip transition only into label states (distinct labels)
         prev2 = jnp.pad(alpha, ((0, 0), (2, 0)),
                         constant_values=_NEG_INF)[:, :-2] + skip_block
-        # fused 3-way logsumexp over the band (one exp/log round)
-        m = jnp.maximum(jnp.maximum(alpha, prev1), prev2)
-        acc = m + jnp.log(jnp.exp(alpha - m) + jnp.exp(prev1 - m)
-                          + jnp.exp(prev2 - m))
+        acc = _lse3(alpha, prev1, prev2)
         new_alpha = jnp.where(state_valid, acc + emit_t, _NEG_INF)
         new_alpha = jnp.where(t_valid[:, None], new_alpha, alpha)
-        return new_alpha, None
+        return new_alpha, (new_alpha if stack else None)
 
     t_idx = jnp.arange(1, T_mel)
     t_valid = t_idx[:, None] < mel_lens[None, :]         # (T_mel-1, B)
-    alpha, _ = jax.lax.scan(step, alpha0,
-                            (jnp.swapaxes(emit_all[:, 1:], 0, 1), t_valid),
-                            unroll=8)
+    alpha, ys = jax.lax.scan(
+        step, alpha0, (jnp.swapaxes(emit_all[:, 1:], 0, 1), t_valid),
+        unroll=8)
+    if stack:
+        ys = jnp.concatenate([alpha0[None], ys], axis=0)  # (T_mel, B, 2S+1)
+    return alpha, ys
 
-    def lse2(a, b):
-        m = jnp.maximum(a, b)
-        return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
 
+def _ll_from_alpha(alpha, text_lens):
     end_blank = jnp.take_along_axis(alpha, (2 * text_lens)[:, None],
                                     axis=1)[:, 0]
     end_label = jnp.take_along_axis(alpha, (2 * text_lens - 1)[:, None],
                                     axis=1)[:, 0]
-    ll = lse2(end_blank, end_label)
+    m = jnp.maximum(end_blank, end_label)
+    return m + jnp.log(jnp.exp(end_blank - m) + jnp.exp(end_label - m))
+
+
+def _loss_from_ll(ll, text_lens):
     per_item = -ll / jnp.maximum(text_lens.astype(ll.dtype), 1.0)
     # zero_infinity=True semantics
-    per_item = jnp.where(jnp.isfinite(per_item) & (per_item < 1e29),
-                         per_item, 0.0)
-    return jnp.mean(per_item)
+    finite = jnp.isfinite(per_item) & (per_item < 1e29)
+    per_item = jnp.where(finite, per_item, 0.0)
+    return jnp.mean(per_item), finite
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _ctc_core(attn_logprob, text_lens, mel_lens, blank_logprob):
+    logp, emit_all, is_label, state_valid, col_valid = _ctc_setup(
+        attn_logprob, text_lens, blank_logprob)
+    alpha, _ = _alpha_scan(emit_all, is_label, state_valid,
+                           text_lens, mel_lens, stack=False)
+    loss, _ = _loss_from_ll(_ll_from_alpha(alpha, text_lens), text_lens)
+    return loss
+
+
+def _ctc_fwd(attn_logprob, text_lens, mel_lens, blank_logprob):
+    logp, emit_all, is_label, state_valid, col_valid = _ctc_setup(
+        attn_logprob, text_lens, blank_logprob)
+    alpha, alphas = _alpha_scan(emit_all, is_label, state_valid,
+                                text_lens, mel_lens, stack=True)
+    ll = _ll_from_alpha(alpha, text_lens)
+    loss, finite = _loss_from_ll(ll, text_lens)
+    return loss, (logp, emit_all, alphas, ll, finite, text_lens, mel_lens,
+                  is_label, col_valid)
+
+
+def _ctc_bwd(blank_logprob, res, ct):
+    logp, emit_all, alphas, ll, finite, text_lens, mel_lens, is_label, \
+        col_valid = res
+    B, T_mel, n_cols = logp.shape
+    n_states = emit_all.shape[-1]
+
+    # reverse beta DP: beta(t) = terminal for t >= T_b-1, else one banded
+    # step from beta(t+1) + emit(t+1). Transitions FROM state s reach
+    # {s, s+1, s+2 if s odd} (all labels distinct).
+    s = jnp.arange(n_states)
+    terminal = jnp.where(
+        (s[None, :] == 2 * text_lens[:, None])
+        | (s[None, :] == 2 * text_lens[:, None] - 1), 0.0, _NEG_INF)
+    from_skip = jnp.where(is_label[None, :], 0.0, _NEG_INF)  # source s odd
+
+    def bstep(beta_next, inp):
+        emit_next, pos = inp                             # (B, 2S+1), ()
+        q = beta_next + emit_next
+        n1 = jnp.pad(q, ((0, 0), (0, 1)),
+                     constant_values=_NEG_INF)[:, 1:]
+        n2 = jnp.pad(q, ((0, 0), (0, 2)),
+                     constant_values=_NEG_INF)[:, 2:] + from_skip
+        cand = _lse3(q, n1, n2)
+        beta_t = jnp.where(pos >= (mel_lens - 1)[:, None], terminal, cand)
+        return beta_t, beta_t
+
+    pos_idx = jnp.arange(0, T_mel - 1)                   # beta positions
+    _, betas = jax.lax.scan(
+        bstep, terminal,
+        (jnp.swapaxes(emit_all[:, 1:], 0, 1), pos_idx),
+        reverse=True, unroll=8)
+    betas = jnp.concatenate([betas, terminal[None]], axis=0)  # (T,B,2S+1)
+
+    # state posteriors gamma(t,s) = exp(alpha + beta - ll); fold to columns:
+    # odd states map 1:1 to text columns, even states sum into the blank
+    gammas = jnp.exp(alphas + betas - ll[None, :, None])  # (T, B, 2S+1)
+    q_blank = gammas[..., 0::2].sum(-1, keepdims=True)    # (T, B, 1)
+    q_label = gammas[..., 1::2]                           # (T, B, S)
+    u = jnp.concatenate([q_blank, q_label], axis=-1)      # (T, B, S+1)
+    u = jnp.swapaxes(u, 0, 1)                             # (B, T, S+1)
+
+    # d loss / d pre-softmax logits: coef * (u - softmax) on valid frames
+    # and columns (posterior sums to 1 per valid frame, so the log-softmax
+    # jacobian collapses to u - p)
+    p_sm = jnp.exp(logp)                                  # masked softmax
+    t_in = (jnp.arange(T_mel)[None, :] < mel_lens[:, None])  # (B, T)
+    coef = -ct * finite / (
+        jnp.maximum(text_lens.astype(logp.dtype), 1.0) * B)
+    dx = coef[:, None, None] * (u - p_sm)
+    dx = jnp.where(t_in[..., None] & col_valid[:, None, :], dx, 0.0)
+    d_attn = dx[..., 1:]                                  # drop blank column
+
+    zeros = np.zeros(text_lens.shape, dtype=jax.dtypes.float0)
+    zeros_m = np.zeros(mel_lens.shape, dtype=jax.dtypes.float0)
+    return d_attn, zeros, zeros_m
+
+
+_ctc_core.defvjp(_ctc_fwd, _ctc_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("blank_logprob",))
+def attention_ctc_loss(attn_logprob: jax.Array, text_lens: jax.Array,
+                       mel_lens: jax.Array,
+                       blank_logprob: float = -1.0) -> jax.Array:
+    """attn_logprob: (B, T_mel, T_text) unnormalized log-probs
+    (post prior). Returns scalar loss (mean over batch)."""
+    return _ctc_core(attn_logprob, text_lens, mel_lens, blank_logprob)
+
+
+@functools.partial(jax.jit, static_argnames=("blank_logprob",))
+def attention_ctc_loss_autodiff(attn_logprob: jax.Array,
+                                text_lens: jax.Array, mel_lens: jax.Array,
+                                blank_logprob: float = -1.0) -> jax.Array:
+    """Plain-autodiff variant (no custom_vjp): grad oracle for tests."""
+    logp, emit_all, is_label, state_valid, _ = _ctc_setup(
+        attn_logprob, text_lens, blank_logprob)
+    alpha, _ = _alpha_scan(emit_all, is_label, state_valid,
+                           text_lens, mel_lens, stack=False)
+    loss, _ = _loss_from_ll(_ll_from_alpha(alpha, text_lens), text_lens)
+    return loss

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--tmel", type=int, default=512)
     ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--variants", type=str, default=None,
+                    help="comma-separated variant indices to run (default all)")
     args = ap.parse_args()
 
     import jax
@@ -146,8 +148,11 @@ def main():
     ]
     print(f"B={B} T_mel={T_MEL} precision="
           f"{'bf16' if args.bf16 else 'f32'} K={K} remat=True", flush=True)
+    sel = (list(range(len(variants))) if args.variants is None
+           else [int(i) for i in args.variants.split(",")])
     full_ms = None
-    for name, keep, binarize in variants:
+    for i in sel:
+        name, keep, binarize = variants[i]
         ms = time_step(make_filtered_step(keep, binarize), name)
         if full_ms is None:
             full_ms = ms

@@ -141,6 +141,30 @@ def test_ctc_gradient_finite(rng):
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_ctc_custom_vjp_matches_autodiff(rng):
+    """The alpha-beta posterior backward (custom_vjp) must agree with
+    plain autodiff through the forward scan, on ragged lengths and with
+    a non-unit upstream cotangent."""
+    from radmmm_tpu.losses.ctc import attention_ctc_loss_autodiff
+    B, T_mel, T_text = 4, 28, 9
+    logits = jnp.asarray(
+        rng.standard_normal((B, T_mel, T_text)).astype(np.float32) * 2)
+    tl = jnp.asarray([9, 6, 2, 1], jnp.int32)
+    ml = jnp.asarray([28, 19, 8, 3], jnp.int32)
+    v1 = float(attention_ctc_loss(logits, tl, ml))
+    v2 = float(attention_ctc_loss_autodiff(logits, tl, ml))
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+    g1 = jax.grad(lambda a: 3.0 * attention_ctc_loss(a, tl, ml))(logits)
+    g2 = jax.grad(lambda a: 3.0 * attention_ctc_loss_autodiff(
+        a, tl, ml))(logits)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=3e-6)
+    # masked regions get exactly zero gradient
+    g1 = np.asarray(g1)
+    assert np.abs(g1[1, 19:, :]).max() == 0.0
+    assert np.abs(g1[1, :, 6:]).max() == 0.0
+
+
 def test_mas_degenerate_lengths(rng):
     """text_len=1 and mel_len=1 items must produce valid alignments."""
     attn = soft_attn(rng, 3, 10, 5)
