@@ -19,7 +19,7 @@ flow-channel semantics line up (decoders.py:119-122).
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -125,10 +125,14 @@ class RADMMMFlow(nn.Module):
     use_accent_emb_for_decoder: bool = False
     bn_axis_name: Optional[str] = None
     # rematerialize each flow step's activations in the backward pass:
-    # trades ~1/3 more FLOPs for O(n_flows)x less live activation memory —
-    # the HBM knob for long-utterance recipes (epic-duration configs,
-    # dur_max >> 10 s) and bigger per-chip batches
-    remat: bool = False
+    # True trades ~1/3 more FLOPs for O(n_flows)x less live activation
+    # memory — the HBM knob for long-utterance recipes (epic-duration
+    # configs, dur_max >> 10 s) and bigger per-chip batches.
+    # 'save_wn' keeps ONLY the WN conv inputs (ops/coupling.py
+    # checkpoint_name tags) and rematerializes the cheap elementwise rest:
+    # no conv recompute (the FLOPs) at a few-MB/flow memory cost.
+    # Any other string resolves as a jax.checkpoint_policies attribute.
+    remat: Union[bool, str] = False
 
     @property
     def decoder_cond_dims(self) -> int:
@@ -171,8 +175,16 @@ class RADMMMFlow(nn.Module):
                                and "spectral" in self.context_lstm_norm))
         # static argnums (self=0): inverse=4, train=5, sync_bn=6 — call
         # sites pass them positionally (nn.remat + kwargs don't mix)
-        step_cls = (nn.remat(FlowStep, static_argnums=(4, 5, 6))
-                    if self.remat else FlowStep)
+        if isinstance(self.remat, str):
+            policy = (jax.checkpoint_policies.save_only_these_names(
+                "wn_h", "wn_skip") if self.remat == "save_wn"
+                else getattr(jax.checkpoint_policies, self.remat))
+            step_cls = nn.remat(FlowStep, static_argnums=(4, 5, 6),
+                                policy=policy)
+        elif self.remat:
+            step_cls = nn.remat(FlowStep, static_argnums=(4, 5, 6))
+        else:
+            step_cls = FlowStep
         self.flows = [
             step_cls(c, self.decoder_cond_dims, self.n_conv_layers_per_step,
                      step_index=i,

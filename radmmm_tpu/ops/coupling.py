@@ -52,10 +52,16 @@ class WN(nn.Module):
 
     @nn.compact
     def __call__(self, z, context, mask=None):
+        # checkpoint_name tags the conv inputs so the 'save_wn' remat policy
+        # (flow_decoder.RADMMMFlow.remat) can keep exactly these activations
+        # and skip recomputing the conv stack in the backward pass — the
+        # convs are ~all the step's FLOPs but their inputs are few bytes
+        from jax.ad_checkpoint import checkpoint_name
         act = jax.nn.softplus if self.affine_activation == "softplus" else jax.nn.relu
         h = jnp.concatenate([z, context], axis=-1)
         h = MaskedConv1d(self.n_channels, 1, use_weight_norm=True,
                          name="start")(h)
+        h = checkpoint_name(h, "wn_h")
         output = jnp.zeros_like(h)
         for i in range(self.n_layers):
             dilation = 2 ** i if self.use_dilation else 1
@@ -63,10 +69,12 @@ class WN(nn.Module):
                 self.n_channels, self.kernel_size, dilation=dilation,
                 use_partial_padding=self.use_partial_padding,
                 use_weight_norm=True, name=f"in_{i}")(h, mask))
+            h = checkpoint_name(h, "wn_h")
             res_skip = act(MaskedConv1d(
                 self.n_channels, 1, use_weight_norm=True,
                 name=f"res_skip_{i}")(h))
             output = output + res_skip
+        output = checkpoint_name(output, "wn_skip")
         return MaskedConv1d(2 * self.n_in_channels, 1, zero_init=True,
                             name="end")(output)
 

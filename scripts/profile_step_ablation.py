@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--variants", type=str, default=None,
                     help="comma-separated variant indices to run (default all)")
+    ap.add_argument("--remat", type=str, default="on",
+                    help="decoder remat: on | off | <policy name>")
     args = ap.parse_args()
 
     import jax
@@ -48,7 +50,8 @@ def main():
     B, T_TEXT, T_MEL = args.batch, 96, args.tmel
 
     dec = dict(default_radmmm_config().decoder)
-    dec["remat"] = True
+    dec["remat"] = False if args.remat == "off" else \
+        True if args.remat == "on" else args.remat
     model = TTSModel(config=default_radmmm_config(decoder=dec))
     rng = np.random.default_rng(0)
     prior = rng.uniform(0.1, 1.0, (B, T_MEL, T_TEXT)).astype(np.float32)
@@ -147,7 +150,8 @@ def main():
          False),
     ]
     print(f"B={B} T_mel={T_MEL} precision="
-          f"{'bf16' if args.bf16 else 'f32'} K={K} remat=True", flush=True)
+          f"{'bf16' if args.bf16 else 'f32'} K={K} remat={args.remat}",
+          flush=True)
     sel = (list(range(len(variants))) if args.variants is None
            else [int(i) for i in args.variants.split(",")])
     full_ms = None

@@ -143,12 +143,17 @@ def test_flow_with_spline_steps(rng):
     np.testing.assert_allclose(got[0, :12], want[0, :12], atol=5e-3)
 
 
-def test_remat_matches_plain(rng):
-    """remat=True is numerically identical (outputs and grads) to the plain
-    decoder — it only changes what the backward pass rematerializes."""
+import pytest
+
+
+@pytest.mark.parametrize("remat_mode", [True, "save_wn"])
+def test_remat_matches_plain(rng, remat_mode):
+    """remat=True and the 'save_wn' selective policy are numerically
+    identical (outputs and grads) to the plain decoder — they only change
+    what the backward pass rematerializes."""
     mel, spk, ctx, f0, energy, acc, lens = tiny_batch(rng)
     plain = tiny_flow()
-    rem = tiny_flow(remat=True)
+    rem = tiny_flow(remat=remat_mode)
     variables = plain.init({"params": jax.random.key(0)}, mel, spk, ctx,
                            lens, f0=f0, energy_avg=energy, accent_vecs=acc,
                            train=False)
