@@ -22,12 +22,31 @@ per-step residuals.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 _NEG_INF = -1e30
+
+# DP backend: 'pallas' runs each 511-step band DP as ONE VMEM-resident TPU
+# kernel (losses/ctc_pallas.py, same structure as the MAS kernel); 'scan'
+# is the portable lax.scan path. 'auto' = pallas on TPU, scan elsewhere.
+_CTC_BACKEND = _os.environ.get("RADMMM_CTC_BACKEND", "auto")
+
+
+def set_ctc_backend(backend: str) -> None:
+    """'auto' | 'pallas' (interprets off-TPU) | 'scan'."""
+    global _CTC_BACKEND
+    assert backend in ("auto", "pallas", "scan")
+    _CTC_BACKEND = backend
+
+
+def _use_pallas() -> bool:
+    if _CTC_BACKEND == "auto":
+        return jax.default_backend() == "tpu"
+    return _CTC_BACKEND == "pallas"
 
 
 def _masked_log_softmax(x, valid, axis):
@@ -119,28 +138,37 @@ def _loss_from_ll(ll, text_lens):
     return jnp.mean(per_item), finite
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _ctc_core(attn_logprob, text_lens, mel_lens, blank_logprob):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ctc_core(attn_logprob, text_lens, mel_lens, blank_logprob, backend):
     logp, emit_all, is_label, state_valid, col_valid = _ctc_setup(
         attn_logprob, text_lens, blank_logprob)
-    alpha, _ = _alpha_scan(emit_all, is_label, state_valid,
-                           text_lens, mel_lens, stack=False)
+    if backend == "pallas":
+        from radmmm_tpu.losses.ctc_pallas import ctc_alpha_pallas
+        alpha = ctc_alpha_pallas(emit_all, text_lens, mel_lens)[-1]
+    else:
+        alpha, _ = _alpha_scan(emit_all, is_label, state_valid,
+                               text_lens, mel_lens, stack=False)
     loss, _ = _loss_from_ll(_ll_from_alpha(alpha, text_lens), text_lens)
     return loss
 
 
-def _ctc_fwd(attn_logprob, text_lens, mel_lens, blank_logprob):
+def _ctc_fwd(attn_logprob, text_lens, mel_lens, blank_logprob, backend):
     logp, emit_all, is_label, state_valid, col_valid = _ctc_setup(
         attn_logprob, text_lens, blank_logprob)
-    alpha, alphas = _alpha_scan(emit_all, is_label, state_valid,
-                                text_lens, mel_lens, stack=True)
+    if backend == "pallas":
+        from radmmm_tpu.losses.ctc_pallas import ctc_alpha_pallas
+        alphas = ctc_alpha_pallas(emit_all, text_lens, mel_lens)
+        alpha = alphas[-1]
+    else:
+        alpha, alphas = _alpha_scan(emit_all, is_label, state_valid,
+                                    text_lens, mel_lens, stack=True)
     ll = _ll_from_alpha(alpha, text_lens)
     loss, finite = _loss_from_ll(ll, text_lens)
     return loss, (logp, emit_all, alphas, ll, finite, text_lens, mel_lens,
                   is_label, col_valid)
 
 
-def _ctc_bwd(blank_logprob, res, ct):
+def _ctc_bwd(blank_logprob, backend, res, ct):
     logp, emit_all, alphas, ll, finite, text_lens, mel_lens, is_label, \
         col_valid = res
     B, T_mel, n_cols = logp.shape
@@ -149,29 +177,35 @@ def _ctc_bwd(blank_logprob, res, ct):
     # reverse beta DP: beta(t) = terminal for t >= T_b-1, else one banded
     # step from beta(t+1) + emit(t+1). Transitions FROM state s reach
     # {s, s+1, s+2 if s odd} (all labels distinct).
-    s = jnp.arange(n_states)
-    terminal = jnp.where(
-        (s[None, :] == 2 * text_lens[:, None])
-        | (s[None, :] == 2 * text_lens[:, None] - 1), 0.0, _NEG_INF)
-    from_skip = jnp.where(is_label[None, :], 0.0, _NEG_INF)  # source s odd
+    if backend == "pallas":
+        from radmmm_tpu.losses.ctc_pallas import ctc_beta_pallas
+        betas = ctc_beta_pallas(emit_all, text_lens, mel_lens)
+    else:
+        s = jnp.arange(n_states)
+        terminal = jnp.where(
+            (s[None, :] == 2 * text_lens[:, None])
+            | (s[None, :] == 2 * text_lens[:, None] - 1), 0.0, _NEG_INF)
+        from_skip = jnp.where(is_label[None, :], 0.0, _NEG_INF)  # src s odd
 
-    def bstep(beta_next, inp):
-        emit_next, pos = inp                             # (B, 2S+1), ()
-        q = beta_next + emit_next
-        n1 = jnp.pad(q, ((0, 0), (0, 1)),
-                     constant_values=_NEG_INF)[:, 1:]
-        n2 = jnp.pad(q, ((0, 0), (0, 2)),
-                     constant_values=_NEG_INF)[:, 2:] + from_skip
-        cand = _lse3(q, n1, n2)
-        beta_t = jnp.where(pos >= (mel_lens - 1)[:, None], terminal, cand)
-        return beta_t, beta_t
+        def bstep(beta_next, inp):
+            emit_next, pos = inp                         # (B, 2S+1), ()
+            q = beta_next + emit_next
+            n1 = jnp.pad(q, ((0, 0), (0, 1)),
+                         constant_values=_NEG_INF)[:, 1:]
+            n2 = jnp.pad(q, ((0, 0), (0, 2)),
+                         constant_values=_NEG_INF)[:, 2:] + from_skip
+            cand = _lse3(q, n1, n2)
+            beta_t = jnp.where(pos >= (mel_lens - 1)[:, None], terminal,
+                               cand)
+            return beta_t, beta_t
 
-    pos_idx = jnp.arange(0, T_mel - 1)                   # beta positions
-    _, betas = jax.lax.scan(
-        bstep, terminal,
-        (jnp.swapaxes(emit_all[:, 1:], 0, 1), pos_idx),
-        reverse=True, unroll=8)
-    betas = jnp.concatenate([betas, terminal[None]], axis=0)  # (T,B,2S+1)
+        pos_idx = jnp.arange(0, T_mel - 1)               # beta positions
+        _, betas = jax.lax.scan(
+            bstep, terminal,
+            (jnp.swapaxes(emit_all[:, 1:], 0, 1), pos_idx),
+            reverse=True, unroll=8)
+        betas = jnp.concatenate([betas, terminal[None]],
+                                axis=0)                  # (T,B,2S+1)
 
     # state posteriors gamma(t,s) = exp(alpha + beta - ll); fold to columns:
     # odd states map 1:1 to text columns, even states sum into the blank
@@ -200,13 +234,23 @@ def _ctc_bwd(blank_logprob, res, ct):
 _ctc_core.defvjp(_ctc_fwd, _ctc_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("blank_logprob",))
+@functools.partial(jax.jit, static_argnames=("blank_logprob", "backend"))
+def _ctc_entry(attn_logprob, text_lens, mel_lens, blank_logprob, backend):
+    return _ctc_core(attn_logprob, text_lens, mel_lens, blank_logprob,
+                     backend)
+
+
 def attention_ctc_loss(attn_logprob: jax.Array, text_lens: jax.Array,
                        mel_lens: jax.Array,
                        blank_logprob: float = -1.0) -> jax.Array:
     """attn_logprob: (B, T_mel, T_text) unnormalized log-probs
-    (post prior). Returns scalar loss (mean over batch)."""
-    return _ctc_core(attn_logprob, text_lens, mel_lens, blank_logprob)
+    (post prior). Returns scalar loss (mean over batch).
+
+    The DP backend is resolved here (trace time) and threaded through as
+    part of the jit/custom_vjp cache key, so set_ctc_backend() flips are
+    never served a stale executable."""
+    return _ctc_entry(attn_logprob, text_lens, mel_lens, blank_logprob,
+                      "pallas" if _use_pallas() else "scan")
 
 
 @functools.partial(jax.jit, static_argnames=("blank_logprob",))

@@ -49,6 +49,57 @@ def set_lstm_backend(name: str) -> None:
     _LSTM_BACKEND = name
 
 
+def bilstm_scan(x: jax.Array, mask: jax.Array,
+                wi_f: jax.Array, wh_f: jax.Array, bias_f: jax.Array,
+                wi_b: jax.Array, wh_b: jax.Array, bias_b: jax.Array):
+    """Fused bidirectional masked LSTM: both directions in ONE lax.scan.
+
+    Two independent scans serialize 2T steps; stacking the directions into
+    the carry runs them in T steps with one batched (2,B,H)x(2,H,4H) MXU
+    matmul per step — on the serial-latency-bound recurrence this is ~2x.
+    The input projections fuse into a single (C, 8H) matmul. Semantics are
+    identical to lstm_scan(reverse=False) ++ lstm_scan(reverse=True).
+
+    x: (B, T, C), mask: (B, T) float. Returns (out_fwd, out_bwd), each
+    (B, T, H), zero at padding positions.
+    """
+    B, T = x.shape[0], x.shape[1]
+    H = wh_f.shape[0]
+    prec = get_conv_precision()
+    xp = jnp.einsum("btc,ch->bth", x,
+                    jnp.concatenate([wi_f, wi_b], axis=1), precision=prec)
+    xp_f = xp[..., :4 * H] + bias_f
+    # backward direction scans the time-reversed sequence: leading padding
+    # rows keep (h, c) at zero until the first valid frame
+    xp_b = jnp.flip(xp[..., 4 * H:] + bias_b, axis=1)
+    mask_pair = jnp.stack([mask, jnp.flip(mask, axis=1)], axis=0)  # (2,B,T)
+    xs = (jnp.moveaxis(jnp.stack([xp_f, xp_b], axis=0), 2, 0),    # (T,2,B,4H)
+          jnp.moveaxis(mask_pair, 2, 0))                          # (T,2,B)
+    wh = jnp.stack([wh_f, wh_b], axis=0)                          # (2,H,4H)
+
+    def step(carry, inp):
+        h, c = carry                                              # (2,B,H)
+        xpt, m = inp
+        gates = xpt + jnp.einsum("dbh,dhg->dbg", h, wh, precision=prec)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        m = m[..., None]
+        h = jnp.where(m > 0, h_new, h)
+        c = jnp.where(m > 0, c_new, c)
+        return (h, c), h_new * m
+
+    h0 = jnp.zeros((2, B, H), x.dtype)
+    _, ys = jax.lax.scan(step, (h0, h0), xs, unroll=8)            # (T,2,B,H)
+    out_f = jnp.moveaxis(ys[:, 0], 0, 1)
+    out_b = jnp.flip(jnp.moveaxis(ys[:, 1], 0, 1), axis=1)
+    return out_f, out_b
+
+
 def lstm_scan(x: jax.Array, mask: jax.Array, wi: jax.Array, wh: jax.Array,
               bias: jax.Array, reverse: bool = False) -> jax.Array:
     """Single-direction masked LSTM. x: (B, T, C), mask: (B, T) float.
@@ -148,7 +199,7 @@ class MaskedLSTM(nn.Module):
         cin = x.shape[-1]
         init = _uniform_lstm_init(self.hidden)
         dirs = ["fwd", "bwd"] if self.bidirectional else ["fwd"]
-        outs = []
+        ws = {}
         for d in dirs:
             wi = self.param(f"wi_{d}", init, (cin, 4 * self.hidden))
             wh = self.param(f"wh_{d}", init, (self.hidden, 4 * self.hidden))
@@ -157,6 +208,13 @@ class MaskedLSTM(nn.Module):
             if self.spectral_norm:
                 wh = SpectralNormedParam(shape=wh.shape,
                                          name_prefix=f"wh_{d}")(wh, update_sn)
-            outs.append(lstm_scan(x, m, wi, wh, b_ih + b_hh,
-                                  reverse=(d == "bwd")))
-        return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+            ws[d] = (wi, wh, b_ih + b_hh)
+        if not self.bidirectional:
+            return lstm_scan(x, m, *ws["fwd"])
+        if _LSTM_BACKEND == "scan":
+            # both directions fused into one scan (half the serial steps)
+            out_f, out_b = bilstm_scan(x, m, *ws["fwd"], *ws["bwd"])
+        else:
+            out_f = lstm_scan(x, m, *ws["fwd"])
+            out_b = lstm_scan(x, m, *ws["bwd"], reverse=True)
+        return jnp.concatenate([out_f, out_b], axis=-1)

@@ -221,3 +221,26 @@ def test_mas_pallas_kernel_matches_scan(rng):
         oracle = mas_width1_ref(attn[b, :mel_lens[b], :text_lens[b]])
         np.testing.assert_array_equal(
             got[b, :mel_lens[b], :text_lens[b]], oracle, err_msg=f"item {b}")
+
+def test_ctc_pallas_matches_scan(rng):
+    """Pallas alpha/beta DP kernels (interpret mode on CPU) == the lax.scan
+    CTC path: loss and gradient, ragged text/mel lengths."""
+    from radmmm_tpu.losses import ctc as ctc_mod
+    B, T_mel, T_text = 3, 37, 11
+    logits = jnp.asarray(
+        rng.standard_normal((B, T_mel, T_text)).astype(np.float32))
+    tl = jnp.asarray(np.array([11, 7, 1], np.int32))
+    ml = jnp.asarray(np.array([37, 20, 3], np.int32))
+
+    ctc_mod.set_ctc_backend("scan")
+    try:
+        v_scan = float(attention_ctc_loss(logits, tl, ml))
+        g_scan = jax.grad(lambda a: attention_ctc_loss(a, tl, ml))(logits)
+        ctc_mod.set_ctc_backend("pallas")
+        v_pal = float(attention_ctc_loss(logits, tl, ml))
+        g_pal = jax.grad(lambda a: attention_ctc_loss(a, tl, ml))(logits)
+    finally:
+        ctc_mod.set_ctc_backend("auto")
+    np.testing.assert_allclose(v_pal, v_scan, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_scan),
+                               atol=1e-5)

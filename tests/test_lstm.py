@@ -96,3 +96,19 @@ def test_lstm_scan_reverse_consistency(rng):
     bwd = np.asarray(lstm_scan(jnp.asarray(x), jnp.asarray(m), wi, wh, b,
                                reverse=True))
     np.testing.assert_allclose(fwd_on_flipped, bwd, atol=1e-6)
+
+def test_fused_bilstm_matches_two_scans(rng):
+    """bilstm_scan (one direction-stacked scan) == two lstm_scan calls,
+    on ragged lengths."""
+    from radmmm_tpu.ops.lstm import bilstm_scan
+    B, T, C, H = 3, 11, 4, 6
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    lens = np.array([11, 7, 1])
+    m = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+    w = [rng.standard_normal(s).astype(np.float32) * 0.1
+         for s in [(C, 4 * H), (H, 4 * H), (4 * H,)] * 2]
+    out_f, out_b = bilstm_scan(jnp.asarray(x), jnp.asarray(m), *w)
+    ref_f = lstm_scan(jnp.asarray(x), jnp.asarray(m), *w[:3])
+    ref_b = lstm_scan(jnp.asarray(x), jnp.asarray(m), *w[3:], reverse=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b), atol=1e-6)
