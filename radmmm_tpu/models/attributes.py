@@ -101,20 +101,33 @@ class ConvLSTMLinear(nn.Module):
     spectral_norm: bool = True
 
     @nn.compact
-    def __call__(self, x, lens: SeqLens, train: bool = True):
+    def __call__(self, x, lens: SeqLens, train: bool = True,
+                 phase: str = "all"):
+        """phase: 'all' (default) runs the whole stack. 'pre' runs the conv
+        stack and returns (conv_out, lstm_weights) so the caller can gang
+        several same-shape BiLSTMs into one multi_bilstm_scan; 'post' takes
+        the external LSTM output and applies the output linear. Parameter
+        tree and checkpoint layout are identical in both modes."""
         n_channels = self.n_channels if self.use_linear else self.out_dim
-        for i in range(self.n_layers):
-            x = MaskedConv1d(n_channels, self.kernel_size,
-                             w_init_gain="relu", use_weight_norm=True,
-                             name=f"conv_{i}")(x, lens.mask)
-            x = jax.nn.relu(x)
-            x = nn.Dropout(self.p_dropout, deterministic=not train)(x)
-        if self.lstm_type:
-            bi = self.lstm_type == "bilstm"
-            hidden = n_channels // 2 if bi else n_channels
-            x = MaskedLSTM(hidden, bidirectional=bi,
-                           spectral_norm=self.spectral_norm,
-                           name="lstm")(x, lens.mask, update_sn=train)
+        if phase in ("all", "pre"):
+            for i in range(self.n_layers):
+                x = MaskedConv1d(n_channels, self.kernel_size,
+                                 w_init_gain="relu", use_weight_norm=True,
+                                 name=f"conv_{i}")(x, lens.mask)
+                x = jax.nn.relu(x)
+                x = nn.Dropout(self.p_dropout, deterministic=not train)(x)
+            if self.lstm_type:
+                bi = self.lstm_type == "bilstm"
+                hidden = n_channels // 2 if bi else n_channels
+                lstm = MaskedLSTM(hidden, bidirectional=bi,
+                                  spectral_norm=self.spectral_norm,
+                                  name="lstm")
+                if phase == "pre":
+                    return x, lstm(x, lens.mask, update_sn=train,
+                                   return_weights=True)
+                x = lstm(x, lens.mask, update_sn=train)
+            elif phase == "pre":
+                return x, None
         if self.use_linear:
             x = Linear(self.out_dim, name="dense")(x)
         return x
@@ -212,7 +225,20 @@ class ConvLSTMLinearDAP(nn.Module):
 
     @nn.compact
     def __call__(self, x_target, text_enc, spk_emb, lens: SeqLens,
-                 x_mean=None, x_std=None, accent_emb=None, train=True):
+                 x_mean=None, x_std=None, accent_emb=None, train=True,
+                 phase: str = "all", lstm_out=None):
+        """phase='pre'/'post' splits the predictor around its BiLSTM so the
+        top-level model can gang several predictors' recurrences into one
+        scan (multi_bilstm_scan): 'pre' returns
+        {'x': tx_target, 'conv': conv_out, 'lstm': stacked weights};
+        'post' consumes lstm_out and returns the usual {'x_hat', 'x'}."""
+        backbone = ConvLSTMLinear(self.out_dim, self.n_backbone_layers,
+                                  self.n_hidden, self.kernel_size,
+                                  self.p_dropout, self.lstm_type,
+                                  name="backbone")
+        if phase == "post":
+            x_hat = backbone(lstm_out, lens, train=train, phase="post")
+            return {"x_hat": x_hat, "x": x_target}
         if x_target is not None:
             x_target = tx_target(x_target, x_mean=x_mean, x_std=x_std,
                                  **self._tx_kwargs())
@@ -228,10 +254,10 @@ class ConvLSTMLinearDAP(nn.Module):
                 accent_emb[:, None, :],
                 (h.shape[0], T, accent_emb.shape[-1])))
         h = jnp.concatenate(parts, axis=-1)
-        x_hat = ConvLSTMLinear(self.out_dim, self.n_backbone_layers,
-                               self.n_hidden, self.kernel_size,
-                               self.p_dropout, self.lstm_type,
-                               name="backbone")(h, lens, train=train)
+        if phase == "pre":
+            conv, ws = backbone(h, lens, train=train, phase="pre")
+            return {"x": x_target, "conv": conv, "lstm": ws}
+        x_hat = backbone(h, lens, train=train)
         return {"x_hat": x_hat, "x": x_target}
 
     def infer(self, text_enc, spk_emb, lens: SeqLens, x_mean=None,
@@ -239,6 +265,11 @@ class ConvLSTMLinearDAP(nn.Module):
         out = self(None, text_enc, spk_emb, lens, accent_emb=accent_emb,
                    train=False)
         return inv_tx_target(out["x_hat"], x_mean=x_mean, x_std=x_std,
+                             **self._tx_kwargs())
+
+    def inv_tx(self, x_hat, x_mean=None, x_std=None):
+        """Inverse target transform (used by the ganged inference path)."""
+        return inv_tx_target(x_hat, x_mean=x_mean, x_std=x_std,
                              **self._tx_kwargs())
 
 

@@ -49,38 +49,44 @@ def set_lstm_backend(name: str) -> None:
     _LSTM_BACKEND = name
 
 
-def bilstm_scan(x: jax.Array, mask: jax.Array,
-                wi_f: jax.Array, wh_f: jax.Array, bias_f: jax.Array,
-                wi_b: jax.Array, wh_b: jax.Array, bias_b: jax.Array):
-    """Fused bidirectional masked LSTM: both directions in ONE lax.scan.
+def multi_bilstm_scan(xs: jax.Array, mask: jax.Array, wi: jax.Array,
+                      wh: jax.Array, bias: jax.Array) -> jax.Array:
+    """P independent bidirectional masked LSTMs fused into ONE lax.scan.
 
-    Two independent scans serialize 2T steps; stacking the directions into
-    the carry runs them in T steps with one batched (2,B,H)x(2,H,4H) MXU
-    matmul per step — on the serial-latency-bound recurrence this is ~2x.
-    The input projections fuse into a single (C, 8H) matmul. Semantics are
-    identical to lstm_scan(reverse=False) ++ lstm_scan(reverse=True).
+    The recurrence is serial-latency-bound, not FLOP-bound: P separate
+    bidirectional scans serialize P*T steps (2*P*T if the directions are
+    also separate). Stacking all 2P direction-lanes into the carry runs
+    them in T steps with one batched (2P,B,H)x(2P,H,4H) MXU matmul per
+    step. Used to gang the frame-level attribute predictors' BiLSTMs
+    (f0/energy/voiced share the same mask and hidden size — see
+    models/tts.py) and, with P=1, as the plain fused BiLSTM.
 
-    x: (B, T, C), mask: (B, T) float. Returns (out_fwd, out_bwd), each
-    (B, T, H), zero at padding positions.
+    xs:   (P, B, T, C)  per-predictor inputs (shared mask)
+    wi:   (P, C, 8H)    input projections, [fwd | bwd] concatenated
+    wh:   (P, 2, H, 4H) recurrent weights per direction
+    bias: (P, 2, 4H)    b_ih + b_hh per direction
+    Returns (P, B, T, 2H), [fwd | bwd] concatenated, zero at padding.
     """
-    B, T = x.shape[0], x.shape[1]
-    H = wh_f.shape[0]
+    P, B, T = xs.shape[0], xs.shape[1], xs.shape[2]
+    H = wh.shape[-2]
+    L = 2 * P
     prec = get_conv_precision()
-    xp = jnp.einsum("btc,ch->bth", x,
-                    jnp.concatenate([wi_f, wi_b], axis=1), precision=prec)
-    xp_f = xp[..., :4 * H] + bias_f
+    xp = jnp.einsum("pbtc,pch->pbth", xs, wi, precision=prec)  # (P,B,T,8H)
+    xp_f = xp[..., :4 * H] + bias[:, 0][:, None, None, :]
     # backward direction scans the time-reversed sequence: leading padding
     # rows keep (h, c) at zero until the first valid frame
-    xp_b = jnp.flip(xp[..., 4 * H:] + bias_b, axis=1)
+    xp_b = jnp.flip(xp[..., 4 * H:] + bias[:, 1][:, None, None, :], axis=2)
+    xp_l = jnp.stack([xp_f, xp_b], axis=1).reshape(L, B, T, 4 * H)
     mask_pair = jnp.stack([mask, jnp.flip(mask, axis=1)], axis=0)  # (2,B,T)
-    xs = (jnp.moveaxis(jnp.stack([xp_f, xp_b], axis=0), 2, 0),    # (T,2,B,4H)
-          jnp.moveaxis(mask_pair, 2, 0))                          # (T,2,B)
-    wh = jnp.stack([wh_f, wh_b], axis=0)                          # (2,H,4H)
+    mask_l = jnp.broadcast_to(mask_pair[None], (P, 2, B, T)).reshape(L, B, T)
+    wh_l = wh.reshape(L, H, 4 * H)
+    scan_xs = (jnp.moveaxis(xp_l, 2, 0),                       # (T,L,B,4H)
+               jnp.moveaxis(mask_l, 2, 0))                     # (T,L,B)
 
     def step(carry, inp):
-        h, c = carry                                              # (2,B,H)
+        h, c = carry                                           # (L,B,H)
         xpt, m = inp
-        gates = xpt + jnp.einsum("dbh,dhg->dbg", h, wh, precision=prec)
+        gates = xpt + jnp.einsum("dbh,dhg->dbg", h, wh_l, precision=prec)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)
@@ -93,11 +99,33 @@ def bilstm_scan(x: jax.Array, mask: jax.Array,
         c = jnp.where(m > 0, c_new, c)
         return (h, c), h_new * m
 
-    h0 = jnp.zeros((2, B, H), x.dtype)
-    _, ys = jax.lax.scan(step, (h0, h0), xs, unroll=8)            # (T,2,B,H)
-    out_f = jnp.moveaxis(ys[:, 0], 0, 1)
-    out_b = jnp.flip(jnp.moveaxis(ys[:, 1], 0, 1), axis=1)
-    return out_f, out_b
+    h0 = jnp.zeros((L, B, H), xs.dtype)
+    _, ys = jax.lax.scan(step, (h0, h0), scan_xs, unroll=8)    # (T,L,B,H)
+    ys = ys.reshape(T, P, 2, B, H)
+    out_f = jnp.moveaxis(ys[:, :, 0], 0, 2)                    # (P,B,T,H)
+    out_b = jnp.flip(jnp.moveaxis(ys[:, :, 1], 0, 2), axis=2)
+    return jnp.concatenate([out_f, out_b], axis=-1)
+
+
+def bilstm_scan(x: jax.Array, mask: jax.Array,
+                wi_f: jax.Array, wh_f: jax.Array, bias_f: jax.Array,
+                wi_b: jax.Array, wh_b: jax.Array, bias_b: jax.Array):
+    """Fused bidirectional masked LSTM: both directions in ONE lax.scan.
+
+    P=1 case of multi_bilstm_scan. Semantics are identical to
+    lstm_scan(reverse=False) ++ lstm_scan(reverse=True).
+
+    x: (B, T, C), mask: (B, T) float. Returns (out_fwd, out_bwd), each
+    (B, T, H), zero at padding positions.
+    """
+    H = wh_f.shape[0]
+    out = multi_bilstm_scan(
+        x[None],
+        mask,
+        jnp.concatenate([wi_f, wi_b], axis=1)[None],
+        jnp.stack([wh_f, wh_b], axis=0)[None],
+        jnp.stack([bias_f, bias_b], axis=0)[None])[0]
+    return out[..., :H], out[..., H:]
 
 
 def lstm_scan(x: jax.Array, mask: jax.Array, wi: jax.Array, wh: jax.Array,
@@ -191,7 +219,7 @@ class MaskedLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None,
-                 update_sn: bool = False) -> jax.Array:
+                 update_sn: bool = False, return_weights: bool = False):
         if mask is None:
             m = jnp.ones(x.shape[:2], x.dtype)
         else:
@@ -209,6 +237,16 @@ class MaskedLSTM(nn.Module):
                 wh = SpectralNormedParam(shape=wh.shape,
                                          name_prefix=f"wh_{d}")(wh, update_sn)
             ws[d] = (wi, wh, b_ih + b_hh)
+        if return_weights:
+            # gang mode: the caller stacks these across several same-shape
+            # LSTMs and runs multi_bilstm_scan once (see models/tts.py);
+            # params (incl. spectral norm state) still live in this module
+            assert self.bidirectional, "gang mode is bidirectional-only"
+            return {
+                "wi": jnp.concatenate([ws["fwd"][0], ws["bwd"][0]], axis=1),
+                "wh": jnp.stack([ws["fwd"][1], ws["bwd"][1]], axis=0),
+                "bias": jnp.stack([ws["fwd"][2], ws["bwd"][2]], axis=0),
+            }
         if not self.bidirectional:
             return lstm_scan(x, m, *ws["fwd"])
         if _LSTM_BACKEND == "scan":

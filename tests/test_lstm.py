@@ -112,3 +112,24 @@ def test_fused_bilstm_matches_two_scans(rng):
     ref_b = lstm_scan(jnp.asarray(x), jnp.asarray(m), *w[3:], reverse=True)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_f), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b), atol=1e-6)
+
+def test_multi_bilstm_matches_separate_bilstms(rng):
+    """multi_bilstm_scan (P lane-stacked BiLSTMs in one scan) == P separate
+    bilstm_scan calls, on ragged lengths."""
+    from radmmm_tpu.ops.lstm import bilstm_scan, multi_bilstm_scan
+    P, B, T, C, H = 3, 2, 9, 4, 5
+    xs = rng.standard_normal((P, B, T, C)).astype(np.float32)
+    lens = np.array([9, 4])
+    m = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+    ws = [[rng.standard_normal(s).astype(np.float32) * 0.1
+           for s in [(C, 4 * H), (H, 4 * H), (4 * H,)] * 2]
+          for _ in range(P)]
+    out = multi_bilstm_scan(
+        jnp.asarray(xs), jnp.asarray(m),
+        jnp.stack([np.concatenate([w[0], w[3]], axis=1) for w in ws]),
+        jnp.stack([np.stack([w[1], w[4]]) for w in ws]),
+        jnp.stack([np.stack([w[2], w[5]]) for w in ws]))
+    for p in range(P):
+        rf, rb = bilstm_scan(jnp.asarray(xs[p]), jnp.asarray(m), *ws[p])
+        ref = np.concatenate([np.asarray(rf), np.asarray(rb)], axis=-1)
+        np.testing.assert_allclose(np.asarray(out[p]), ref, atol=1e-6)

@@ -168,3 +168,62 @@ def test_reconstruct_runs(model_and_vars):
     d = np.asarray(out["durations"])
     np.testing.assert_array_equal(d.sum(1),
                                   np.asarray(batch["output_lengths"]))
+
+
+def test_ganged_frame_predictors_match_separate(model_and_vars):
+    """gang_frame_predictors=True (one fused 6-lane BiLSTM scan for
+    f0/energy/voiced) produces the same param tree, outputs, and gradients
+    as three separate predictor calls."""
+    model, variables, batch = model_and_vars
+    assert model.config.gang_frame_predictors  # default on
+    sep_model = TTSModel(config=tiny_config(gang_frame_predictors=False))
+
+    # identical checkpoint layout: the split-phase calls create the exact
+    # same params (names + shapes)
+    sep_vars = sep_model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, binarize=False, train=True)
+    assert (jax.tree.structure(sep_vars["params"])
+            == jax.tree.structure(variables["params"]))
+    for a, b in zip(jax.tree.leaves(sep_vars["params"]),
+                    jax.tree.leaves(variables["params"])):
+        assert a.shape == b.shape
+
+    kw = dict(binarize=True, train=False, mutable=["spectral"])
+    out_g, _ = model.apply(variables, batch, **kw)
+    out_s, _ = sep_model.apply(variables, batch, **kw)
+
+    def head_loss(m, v):
+        out, _ = m.apply(v, batch, **kw)
+        return sum(jnp.sum(out[k]["x_hat"] ** 2)
+                   for k in ("f0_outputs", "energy_outputs",
+                             "voiced_outputs"))
+
+    for k in ("f0_outputs", "energy_outputs", "voiced_outputs"):
+        np.testing.assert_allclose(np.asarray(out_g[k]["x_hat"]),
+                                   np.asarray(out_s[k]["x_hat"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_g[k]["x"]),
+                                   np.asarray(out_s[k]["x"]), atol=0)
+    g_g = jax.grad(lambda p: head_loss(
+        model, {**variables, "params": p}))(variables["params"])
+    g_s = jax.grad(lambda p: head_loss(
+        sep_model, {**variables, "params": p}))(variables["params"])
+    for a, b in zip(jax.tree.leaves(g_g), jax.tree.leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_ganged_infer_matches_separate(model_and_vars):
+    """The ganged inference path (voiced/f0/energy in one fused scan)
+    matches three separate predictor.infer calls."""
+    model, variables, batch = model_and_vars
+    sep_model = TTSModel(config=tiny_config(gang_frame_predictors=False))
+    kw = dict(accent_ids=batch["accent_ids"], sigma=0.8, max_frames=64,
+              method=TTSModel.infer)
+    out_g = model.apply(variables, jax.random.key(7), batch["text"],
+                        batch["input_lengths"], batch["speaker_ids"], **kw)
+    out_s = sep_model.apply(variables, jax.random.key(7), batch["text"],
+                            batch["input_lengths"], batch["speaker_ids"],
+                            **kw)
+    for k in ("durations", "voiced", "f0", "energy", "mel"):
+        np.testing.assert_allclose(np.asarray(out_g[k]),
+                                   np.asarray(out_s[k]), atol=1e-5)
