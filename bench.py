@@ -151,8 +151,16 @@ def bench_training(precision: str = "f32", prefix: str = "train",
         state = st
         return time.perf_counter() - t0
 
-    t_k, t_2k = window(K), window(2 * K)
-    step_s = max(t_2k - t_k, 1e-6) / K
+    # median of several (t(2K)-t(K))/K deltas: a single pair is vulnerable
+    # to the post-compile glitch window (measured: the first timed window
+    # after warmup can run 3-4x long, which UNDERSTATES the step by making
+    # t(K) huge) and to mid-run tunnel degradation; consecutive healthy
+    # windows agree to <1 ms, so the median of 3 deltas is stable
+    deltas = []
+    for _ in range(3):
+        t_k, t_2k = window(K), window(2 * K)
+        deltas.append(max(t_2k - t_k, 1e-6) / K)
+    step_s = sorted(deltas)[len(deltas) // 2]
     frames_per_sec = B * T_MEL / step_s
     del state, runner
     # v5e peak: 197 TFLOP/s bf16 (MFU always quoted against bf16 peak so
@@ -355,8 +363,11 @@ def main():
                         jnp.asarray(n, jnp.int32)))
             return time.perf_counter() - t0
 
-        t_k, t_2k = window(K), window(2 * K)
-        batch_s = max(t_2k - t_k, 1e-6) / K
+        deltas = []
+        for _ in range(3):   # median of 3: see bench_training
+            t_k, t_2k = window(K), window(2 * K)
+            deltas.append(max(t_2k - t_k, 1e-6) / K)
+        batch_s = sorted(deltas)[len(deltas) // 2]
         return B * MAX_FRAMES * HOP / SR / batch_s
 
     # headline: HiFi-GAN v1 (512ch, rates (8,8,2,2)) — the reference's

@@ -101,6 +101,17 @@ def main(argv: List[str] = None):
                              "cluster env (the NCCL/DDP-launch equivalent)")
     args, unknown = parser.parse_known_args(argv)
 
+    # persistent XLA compile cache: restart/resume skips recompiling the
+    # train/val/predict programs (tens of seconds to minutes for the
+    # flagship model). Opt-in via the standard JAX env var; on this jax
+    # build the env var alone doesn't activate it — the config must be
+    # set explicitly.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache_dir:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.distributed:
         import jax
         jax.distributed.initialize()

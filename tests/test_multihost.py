@@ -30,6 +30,13 @@ import jax
 from jax._src import xla_bridge as xb
 xb._backend_factories.pop("axon", None)
 jax.config.update("jax_platforms", "cpu")
+# env var alone doesn't activate the persistent compile cache on this
+# jax build; without it both child processes recompile everything
+if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.distributed.initialize(coordinator_address="localhost:{port}",
                            num_processes=2, process_id=pid)
 assert jax.device_count() == 8 and jax.local_device_count() == 4
