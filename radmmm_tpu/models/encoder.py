@@ -27,6 +27,7 @@ class TextEncoder(nn.Module):
     encoder_embedding_dim: int = 512
     encoder_kernel_size: int = 5
     lstm_norm_fn: Optional[str] = None  # 'spectral' | 'weight' | None
+    p_dropout: float = 0.5  # the reference hardcodes 0.5 (common.py:473-479)
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None,
@@ -40,7 +41,7 @@ class TextEncoder(nn.Module):
             x = MaskedInstanceNorm1d(self.encoder_embedding_dim,
                                      name=f"norm_{i}")(x, mask)
             x = jax.nn.relu(x)
-            x = nn.Dropout(0.5, deterministic=not train)(x)
+            x = nn.Dropout(self.p_dropout, deterministic=not train)(x)
         x = MaskedLSTM(self.encoder_embedding_dim // 2, bidirectional=True,
                        spectral_norm=(self.lstm_norm_fn == "spectral"),
                        name="lstm")(x, mask, update_sn=train)

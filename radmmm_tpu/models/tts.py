@@ -56,6 +56,7 @@ class TTSConfig:
     use_speaker_emb_for_alignment: bool = True
     encoder_n_convolutions: int = 3
     encoder_kernel_size: int = 5
+    encoder_p_dropout: float = 0.5
     lstm_norm_fn: Optional[str] = "spectral"
     scale_mel: bool = True
     f0_loss_voiced_only: bool = True
@@ -137,7 +138,8 @@ class TTSModel(nn.Module):
             encoder_n_convolutions=c.encoder_n_convolutions,
             encoder_embedding_dim=c.encoder_dim,
             encoder_kernel_size=c.encoder_kernel_size,
-            lstm_norm_fn=c.lstm_norm_fn)
+            lstm_norm_fn=c.lstm_norm_fn,
+            p_dropout=c.encoder_p_dropout)
 
         attention_key_dim = c.n_text_dim
         if c.use_accent_emb_for_alignment:
@@ -204,6 +206,8 @@ class TTSModel(nn.Module):
             mel, keys, key_mask=in_lens.mask, attn_prior=attn_prior)
         attn_hard = None
         if binarize:
+            # fully detached hard attention, as the reference uses for
+            # context/durations (tts_lightning_modules.py:470, :270-284)
             attn = binarize_attention(attn_soft, in_lens.lengths,
                                       out_lens.lengths)
             attn_hard = attn

@@ -233,8 +233,19 @@ def mas_width1_ref(attn_map: np.ndarray) -> np.ndarray:
 
 
 def binarize_attention(attn_soft: jax.Array, text_lens: jax.Array,
-                       mel_lens: jax.Array) -> jax.Array:
-    """Hard MAS alignment with straight-through gradient
-    (tts_lightning_modules.py:470-472)."""
-    hard = mas_width1(jax.lax.stop_gradient(attn_soft), text_lens, mel_lens)
-    return attn_soft + jax.lax.stop_gradient(hard - attn_soft)
+                       mel_lens: jax.Array,
+                       straight_through: bool = False) -> jax.Array:
+    """Hard MAS alignment, fully DETACHED by default.
+
+    The reference's binarize_attention runs under torch.no_grad
+    (tts_lightning_modules.py:270-284) and training_step uses that detached
+    hard attention for context/durations; the straight-through estimator is
+    computed at :472 but discarded by the `_` unpack at :666-668. Gradient
+    parity therefore requires the detached form. straight_through=True
+    reproduces the (unused) :472 estimator for completeness.
+    """
+    hard = jax.lax.stop_gradient(
+        mas_width1(jax.lax.stop_gradient(attn_soft), text_lens, mel_lens))
+    if straight_through:
+        return attn_soft + jax.lax.stop_gradient(hard - attn_soft)
+    return hard

@@ -200,10 +200,14 @@ class SpectralNormedParam(nn.Module):
             lambda: jax.random.normal(self.make_rng("params")
                                       if self.has_rng("params")
                                       else jax.random.key(0), (w2d.shape[0],)))
+        # the power iteration runs under no_grad in torch
+        # (torch.nn.utils.spectral_norm): sigma's gradient flows through W
+        # only — u and v are constants of the backward pass
+        w2d_it = jax.lax.stop_gradient(w2d)
         u_val = u.value / jnp.maximum(jnp.linalg.norm(u.value), 1e-12)
-        v = w2d.T @ u_val
+        v = w2d_it.T @ u_val
         v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
-        u_new = w2d @ v
+        u_new = w2d_it @ v
         u_new = u_new / jnp.maximum(jnp.linalg.norm(u_new), 1e-12)
         if update and not self.is_initializing():
             u.value = u_new

@@ -62,16 +62,34 @@ def test_mas_properties(rng):
         assert path[0] == 0 and path[-1] == lens_t[b] - 1
 
 
-def test_binarize_attention_straight_through(rng):
+def test_binarize_attention_detached(rng):
+    """Default (reference training_step) semantics: fully detached hard
+    attention — zero gradient through binarize_attention itself."""
     attn = jnp.asarray(soft_attn(rng, 1, 20, 6))
 
     def f(a):
         hard = binarize_attention(a, jnp.asarray([6]), jnp.asarray([20]))
+        return (hard * jax.lax.stop_gradient(a)).sum()
+
+    g = jax.grad(f)(attn)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+    hard = binarize_attention(attn, jnp.asarray([6]), jnp.asarray([20]))
+    assert set(np.unique(np.round(np.asarray(hard), 6))) <= {0.0, 1.0}
+
+
+def test_binarize_attention_straight_through(rng):
+    attn = jnp.asarray(soft_attn(rng, 1, 20, 6))
+
+    def f(a):
+        hard = binarize_attention(a, jnp.asarray([6]), jnp.asarray([20]),
+                                  straight_through=True)
         return (hard * a).sum()
 
     g = jax.grad(f)(attn)   # gradient flows through the soft path only
     assert np.isfinite(np.asarray(g)).all()
-    hard = binarize_attention(attn, jnp.asarray([6]), jnp.asarray([20]))
+    assert np.abs(np.asarray(g)).max() > 0
+    hard = binarize_attention(attn, jnp.asarray([6]), jnp.asarray([20]),
+                              straight_through=True)
     assert set(np.unique(np.round(np.asarray(hard), 6))) <= {0.0, 1.0}
 
 
