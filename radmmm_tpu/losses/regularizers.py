@@ -21,7 +21,8 @@ class VarianceCovarianceEmbeddingRegLoss:
 
     def __call__(self, embs: jnp.ndarray):
         n, d = embs.shape
-        std = jnp.sqrt(embs.var(axis=0) + 1e-4)
+        # torch.var defaults to the unbiased (n-1) estimator (loss.py:334)
+        std = jnp.sqrt(embs.var(axis=0, ddof=1) + 1e-4)
         std_loss = jnp.mean(jnp.maximum(self.gamma - std, 0.0))
         centered = embs - embs.mean(axis=0, keepdims=True)
         cov = centered.T @ centered / (n - 1)

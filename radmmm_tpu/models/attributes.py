@@ -77,9 +77,15 @@ class BottleneckLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None):
         if self.reduction_factor > 1:
+            # premask_input=False: the reference's bottleneck ConvNorm is
+            # non-partial and does not pre-zero its input, so the last valid
+            # frame convolves over the (nonzero) first padded context frame
+            # (common.py:180-190 via attribute_predictors.py:46-51) —
+            # verified by full-model gradient parity
+            # (tests/test_reference_parity_training.py)
             x = MaskedConv1d(self.in_dim // self.reduction_factor,
                              self.kernel_size, use_weight_norm=True,
-                             name="proj")(x, mask)
+                             premask_input=False, name="proj")(x, mask)
             x = (jax.nn.leaky_relu(x, 0.01)
                  if self.non_linearity == "leakyrelu" else jax.nn.relu(x))
         return x

@@ -108,6 +108,13 @@ class MaskedConv1d(nn.Module):
     w_init_gain: str = "linear"
     padding: Optional[int] = None
     zero_init: bool = False
+    # zero the input at masked positions before convolving. The reference's
+    # non-partial ConvNorm does NOT (common.py:180-190): with kernel_size>1
+    # the last valid frame reads the (nonzero) padded frame beyond it. True
+    # everywhere pre-masking is equivalent (partial padding / zero-padded
+    # inputs / the reference's per-item slicing); the DAP bottleneck sets
+    # False for exact behavior parity (attribute_predictors.py:46-51).
+    premask_input: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
@@ -135,7 +142,8 @@ class MaskedConv1d(nn.Module):
         fmask = None
         if mask is not None:
             fmask = mask.astype(x.dtype)[..., None]  # (B, T, 1)
-            x = x * fmask
+            if self.premask_input or self.use_partial_padding:
+                x = x * fmask
 
         raw = conv1d_same(x, kernel, self.dilation, self.padding)
 

@@ -64,8 +64,11 @@ class LossConfig:
     energy_weight: float = 1.0
     vpred_weight: float = 1.0
     duration_weight: float = 1.0
-    # 'regression' (masked MSE) or 'bce'; the shipped configs use regression
-    # for all four (even voiced, on raw logits)
+    # 'regression' (masked MSE) or 'bce'. The shipped reference configs use
+    # regression for all four (even voiced, on raw logits —
+    # configs/RADMMM_vpredmodel_config.yaml); utils/config.py sets these
+    # from the configured loss class, so the bce default below only applies
+    # to hand-built LossConfigs.
     f0_loss_type: str = "regression"
     energy_loss_type: str = "regression"
     vpred_loss_type: str = "bce"

@@ -6,12 +6,14 @@ Why: the full suite JIT-compiles hundreds of XLA:CPU executables; one
 long-lived process accumulates enough native state (~7 GB RSS) to risk an
 allocator crash near the end. Sharding into fresh processes keeps every
 shard small while the on-disk JAX compilation cache keeps repeat runs fast.
-Groups run sequentially (the CI box has one core — parallel jax processes
-thrash).
+Shards run CONCURRENTLY when the box has cores to spare (up to cpu_count-1
+at once) and sequentially on a 1-core box, where parallel jax processes
+would thrash.
 
 Usage:
     python scripts/run_tests.py            # whole suite, sharded
     python scripts/run_tests.py -m "not slow"   # extra args pass through
+    RADMMM_TEST_JOBS=4 python scripts/run_tests.py   # force concurrency
 """
 from __future__ import annotations
 
@@ -19,6 +21,7 @@ import glob
 import os
 import subprocess
 import sys
+import tempfile
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -40,19 +43,52 @@ def main() -> int:
 
     env = {**os.environ}
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_test_cache")
+    jobs = int(os.environ.get("RADMMM_TEST_JOBS",
+                              max(1, (os.cpu_count() or 1) - 1)))
+    jobs = max(1, min(jobs, N_GROUPS))
 
+    shards = [(i + 1, [os.path.relpath(f, ROOT) for f in sorted(g)])
+              for i, g in enumerate(g for g in groups if g)]
     t0 = time.time()
     failures = []
-    for i, group in enumerate(g for g in groups if g):
-        rel = [os.path.relpath(f, ROOT) for f in sorted(group)]
-        print(f"\n=== shard {i + 1}: {len(rel)} file(s) ===", flush=True)
-        rc = subprocess.call(
-            [sys.executable, "-m", "pytest", "-q", *rel, *extra],
-            cwd=ROOT, env=env)
-        if rc == 5:      # no tests collected in this shard (e.g. -m filter)
-            continue
-        if rc != 0:
-            failures.append((i + 1, rel, rc))
+
+    def finish(idx, rel, proc, log):
+        rc = proc.wait()
+        log.seek(0)
+        out = log.read().decode(errors="replace")
+        log.close()
+        print(f"\n=== shard {idx} (rc={rc}): {len(rel)} file(s) ===")
+        print(out, flush=True)
+        if rc not in (0, 5):   # 5 = no tests collected (e.g. -m filter)
+            failures.append((idx, rel, rc))
+
+    if jobs == 1:
+        for idx, rel in shards:
+            print(f"\n=== shard {idx}: {len(rel)} file(s) ===", flush=True)
+            rc = subprocess.call(
+                [sys.executable, "-m", "pytest", "-q", *rel, *extra],
+                cwd=ROOT, env=env)
+            if rc not in (0, 5):
+                failures.append((idx, rel, rc))
+    else:
+        running: list = []
+        pending = list(shards)
+        while pending or running:
+            while pending and len(running) < jobs:
+                idx, rel = pending.pop(0)
+                log = tempfile.TemporaryFile()
+                proc = subprocess.Popen(
+                    [sys.executable, "-m", "pytest", "-q", *rel, *extra],
+                    cwd=ROOT, env=env, stdout=log, stderr=subprocess.STDOUT)
+                running.append((idx, rel, proc, log))
+                print(f"shard {idx} started ({len(rel)} files)", flush=True)
+            done = [r for r in running if r[2].poll() is not None]
+            if not done:
+                time.sleep(1.0)
+                continue
+            for r in done:
+                running.remove(r)
+                finish(*r)
     dt = time.time() - t0
     if failures:
         print(f"\nFAILED shards after {dt:.0f}s:")
