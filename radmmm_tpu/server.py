@@ -21,21 +21,64 @@ API:
 Requests are padded up to the artifact's smallest covering (batch, text)
 bucket and trimmed back (serving.py handles dispatch), so the daemon
 accepts any request shape within the exported envelope — TPU-static
-shapes, dynamic API. Single-threaded by design: one accelerator, one
-compiled program, requests are serialized (batch several texts into one
-request for throughput).
+shapes, dynamic API.
+
+Concurrency model (pipelined): the accelerator runs one compiled program at
+a time, but jax dispatch is asynchronous — so the daemon serves from a
+threaded HTTP server whose handler threads do all host work (text encode,
+padding, fetch, WAV encode) while a single dispatcher thread owns device
+dispatch order. Request i+1 is dispatched while request i's outputs are
+still streaming back to its handler, hiding the host and transfer cost
+behind device compute (VERDICT r3 next #3).
 """
 from __future__ import annotations
 
 import argparse
+import concurrent.futures
 import io
 import json
+import queue
 import struct
+import threading
 import wave
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
+
+
+class DeviceDispatcher:
+    """Serializes device dispatches on one thread; callers fetch results
+    concurrently. jax dispatch is async (the call returns device arrays
+    before execution finishes), so handing the arrays back to the caller's
+    thread for the blocking fetch double-buffers the device: the next
+    request's dispatch overlaps the previous request's execution + fetch."""
+
+    def __init__(self, fn, depth: int = 8):
+        self._fn = fn
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            args, fut = item
+            try:
+                fut.set_result(self._fn(*args))
+            except BaseException as e:  # noqa: BLE001 - delivered to caller
+                fut.set_exception(e)
+
+    def __call__(self, *args):
+        fut: concurrent.futures.Future = concurrent.futures.Future()
+        self._q.put((args, fut))
+        return fut.result()
+
+    def close(self):
+        self._q.put(None)
+        self._thread.join(timeout=5.0)
 
 
 def _wav_bytes(pcm: np.ndarray, sr: int) -> bytes:
@@ -60,6 +103,9 @@ class TTSService:
         from radmmm_tpu.serving import load_tts
 
         self.tts = load_tts(artifact_path)
+        # all device dispatches go through one thread; handler threads keep
+        # the host work (encode/pad/fetch/WAV) so requests pipeline
+        self._dispatch = DeviceDispatcher(self.tts)
         self.tp = text_processor
         self.sr = sampling_rate
         self.hop = hop_length
@@ -117,13 +163,15 @@ class TTSService:
             arr = np.asarray(v, dtype)
             return np.full((b,), arr, dtype) if arr.ndim == 0 else arr
 
-        out, out_lens = self.tts(
+        out, out_lens = self._dispatch(
             text, lens,
             per_item("speaker_id", np.int32),
             per_item("accent_id", np.int32),
             per_item("f0_mean", np.float32),
             per_item("f0_std", np.float32),
             np.int32(req.get("seed", self.defaults["seed"])))
+        # blocking fetch happens HERE, on the handler thread — the
+        # dispatcher is already free to launch the next request
         out, out_lens = np.asarray(out), np.asarray(out_lens)
         items = []
         for i in range(b):
@@ -220,10 +268,12 @@ def build_text_processor(config_path: str):
 
 def serve(artifact: str, host: str = "127.0.0.1", port: int = 8001,
           text_config: Optional[str] = None, sampling_rate: int = 22050,
-          hop_length: int = 256) -> HTTPServer:
+          hop_length: int = 256) -> ThreadingHTTPServer:
     tp = build_text_processor(text_config) if text_config else None
     service = TTSService(artifact, tp, sampling_rate, hop_length)
-    httpd = HTTPServer((host, port), make_handler(service))
+    # threaded handlers + single-threaded device dispatch (DeviceDispatcher)
+    # = pipelined serving: host work overlaps device compute
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
     httpd.service = service
     return httpd
 

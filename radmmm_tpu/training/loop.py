@@ -457,6 +457,15 @@ class Trainer:
         mel_rec = np.asarray(rec["mel"])[0, :out_len]
         self.logger.image("val/mel_reconstructed",
                           plot_mel_to_numpy(mel_rec), step)
+        # objective quality scalars over the whole sample batch: MCD of the
+        # flow reconstruction + attribute F0 RMSE / voicing F1. A subtly
+        # broken flow inverse or predictor moves these by orders of
+        # magnitude where loss curves barely flinch (utils/quality.py).
+        from radmmm_tpu.utils.quality import reconstruction_quality
+        self.logger.scalars(
+            "val", reconstruction_quality(
+                jax.tree.map(np.asarray, device_batch(batch)),
+                np.asarray(rec["mel"]), outputs), step)
         audio = self._vocode(rec["mel"][:1])
         if audio is not None:
             self.logger.audio("val/reconstruction",

@@ -208,6 +208,9 @@ def test_validate_logs_samples_and_artifacts(cfg_files, tmp_path):
             open(tmp_path / "valrun" / "tb" / "metrics.jsonl")]
     val_rows = [r for r in rows if any(k.startswith("val/") for k in r)]
     assert val_rows and "val/loss" in val_rows[0]
+    # objective quality scalars land in metrics.jsonl too (utils/quality.py)
+    quality = {k for r in val_rows for k in r}
+    assert {"val/mcd_db", "val/f0_rmse", "val/voicing_f1"} <= quality
 
     art = tmp_path / "valrun" / "val_artifacts" / "step_0000001"
     files = {p.name for p in art.iterdir()}

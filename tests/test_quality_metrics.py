@@ -1,0 +1,87 @@
+"""Objective quality metrics (MCD / F0 RMSE / voicing F1) and the
+regression gate they provide: a subtly-broken flow inverse that losses
+barely register moves MCD by orders of magnitude (VERDICT r3 next #6)."""
+import numpy as np
+import pytest
+
+from radmmm_tpu.utils.quality import (f0_rmse, mel_cepstral_distortion,
+                                      voicing_f1)
+
+
+def test_mcd_zero_for_identical_and_analytic_for_offset(rng):
+    mel = rng.standard_normal((2, 20, 16)).astype(np.float32)
+    lens = np.array([20, 14])
+    assert mel_cepstral_distortion(mel, mel, lens) == pytest.approx(0.0)
+
+    # a constant offset lives entirely in c0, which MCD excludes
+    assert mel_cepstral_distortion(mel, mel + 3.0, lens) == \
+        pytest.approx(0.0, abs=1e-4)
+
+    # a known perturbation along a single DCT basis vector: MCD is exactly
+    # (10/ln10)*sqrt(2)*|a| for every frame (orthonormal basis)
+    from radmmm_tpu.utils.quality import _dct_matrix
+    dct = _dct_matrix(14, 16)
+    a = 0.25
+    pert = mel + a * dct[3][None, None, :] / np.linalg.norm(dct[3])
+    want = 10.0 / np.log(10.0) * np.sqrt(2.0) * a
+    assert mel_cepstral_distortion(mel, pert, lens) == \
+        pytest.approx(want, rel=1e-6)
+
+
+def test_f0_rmse_voiced_only(rng):
+    f0 = rng.uniform(4, 6, (1, 10)).astype(np.float32)
+    voiced = np.array([[1, 1, 0, 1, 0, 1, 1, 0, 1, 1]], np.float32)
+    hat = f0.copy()
+    hat[0, 2] += 100.0        # unvoiced frame: must not count
+    assert f0_rmse(f0, hat, voiced, np.array([10])) == pytest.approx(0.0)
+    hat = f0 + 0.5            # every voiced frame off by 0.5
+    assert f0_rmse(f0, hat, voiced, np.array([10])) == pytest.approx(0.5)
+    # padding beyond lens must not count either
+    hat = f0.copy()
+    hat[0, 9] += 100.0
+    assert f0_rmse(f0, hat, voiced, np.array([9])) == pytest.approx(0.0)
+
+
+def test_voicing_f1():
+    ref = np.array([[1, 1, 0, 0, 1, 1, 0, 1]], np.float32)
+    prob = np.array([[.9, .8, .1, .2, .7, .6, .4, .9]], np.float32)
+    assert voicing_f1(ref, prob, np.array([8])) == pytest.approx(1.0)
+    prob2 = prob.copy()
+    prob2[0, 2] = 0.9          # one false positive: F1 = 2*5/(2*5+1+0)
+    assert voicing_f1(ref, prob2, np.array([8])) == \
+        pytest.approx(10.0 / 11.0)
+
+
+def test_mcd_catches_subtly_broken_flow_inverse(rng):
+    """The quality gate in action: a 1e-2 nudge to ONE coupling weight —
+    invisible in loss curves at validation granularity — blows the
+    round-trip MCD up by orders of magnitude."""
+    import jax
+    import jax.numpy as jnp
+    from tests.test_flow_decoder import tiny_flow, tiny_batch
+
+    flow = tiny_flow()
+    mel, spk, ctx, f0, energy, acc, lens = tiny_batch(rng)
+    variables = flow.init(jax.random.key(0), mel, spk, ctx, lens, f0,
+                          energy, acc)
+    out = flow.apply(variables, mel, spk, ctx, lens, f0, energy, acc,
+                     train=False)
+    dur = jnp.ones((2, 12), jnp.int32) * lens.fmask(jnp.int32)
+
+    def roundtrip(vs):
+        rec = flow.apply(vs, jax.random.key(1), spk, ctx, 1.0, dur, f0,
+                         energy, lens, acc, residual=out["z_mel"],
+                         method=flow.infer)
+        return mel_cepstral_distortion(np.asarray(mel),
+                                       np.asarray(rec["mel"]),
+                                       np.asarray(lens.lengths))
+
+    healthy = roundtrip(variables)
+    assert healthy < 0.05, healthy
+
+    broken = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    params = jax.device_get(broken["params"])
+    wn = params["flow_1"]["coupling"]["wn"]["end"]
+    wn["kernel"] = wn["kernel"] + 1e-2   # the "subtle" regression
+    broken = {**variables, "params": params}
+    assert roundtrip(broken) > 20 * max(healthy, 1e-3)
