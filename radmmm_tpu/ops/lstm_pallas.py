@@ -5,11 +5,12 @@ The whole recurrence runs inside one pallas_call: the time axis is the
 steps, and each step is a single MXU dot + VPU gating. The time chunk is
 sized so the double-buffered x_proj block + weights fit in 16 MB VMEM.
 
-Measured on v5e (context-LSTM shape T=400, B=32, H=528): 1.8 ms/call vs
-1.3 ms for the in-graph lax.scan — XLA's scan is already near-optimal for
-this topology once the input projection is hoisted, so the scan remains
-the default and this kernel is the alternative implementation (useful where
-scan scheduling overhead dominates, e.g. many tiny recurrences).
+Measured on v5e (context-LSTM shape T=400, B=32, H=528, round 4):
+2.17 ms/call vs 2.69 ms for the standalone lax.scan, bit-exact agreement.
+The scan remains the default because the product graphs run the fused
+bilstm_scan/multi_bilstm_scan paths (both directions + multiple predictors
+ganged into one scan), which this single-direction kernel does not cover;
+select it with set_lstm_backend("pallas").
 
 x_proj is the pre-computed input projection (one big MXU matmul outside the
 kernel); the kernel computes, per frame t:
@@ -28,8 +29,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from radmmm_tpu.ops.conv import get_conv_precision
 
-def _lstm_kernel(xp_ref, mask_ref, wh_ref, out_ref, h_ref, c_ref):
+
+def _lstm_kernel(xp_ref, mask_ref, wh_ref, out_ref, h_ref, c_ref, *,
+                 precision):
     """Grid step = one time chunk. Scratch h/c persist across steps."""
     step = pl.program_id(0)
 
@@ -43,7 +47,7 @@ def _lstm_kernel(xp_ref, mask_ref, wh_ref, out_ref, h_ref, c_ref):
 
     def body(t, _):
         h, c = h_ref[:], c_ref[:]
-        gates = xp_ref[t] + jnp.dot(h, wh_ref[:],
+        gates = xp_ref[t] + jnp.dot(h, wh_ref[:], precision=precision,
                                     preferred_element_type=jnp.float32)
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H:2 * H])
@@ -60,12 +64,30 @@ def _lstm_kernel(xp_ref, mask_ref, wh_ref, out_ref, h_ref, c_ref):
     jax.lax.fori_loop(0, chunk, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
 def lstm_recurrence_pallas(x_proj: jax.Array, mask: jax.Array,
                            wh: jax.Array, chunk: int = 32,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           precision: jax.lax.Precision | None = None,
+                           ) -> jax.Array:
     """x_proj: (T, B, 4H) pre-projected inputs (+bias); mask: (T, B);
-    wh: (H, 4H). Returns outputs (T, B, H) (zero at masked frames)."""
+    wh: (H, 4H). Returns outputs (T, B, H) (zero at masked frames).
+
+    precision controls the recurrence MXU dot (None = the process-wide
+    get_conv_precision(), matching the lax.scan backend's semantics).
+    Resolved OUTSIDE the jit boundary so set_conv_precision() takes
+    effect on later eager calls instead of hitting a stale cache."""
+    if precision is None:
+        precision = get_conv_precision()
+    return _lstm_recurrence_pallas(x_proj, mask, wh, chunk=chunk,
+                                   interpret=interpret, precision=precision)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "interpret", "precision"))
+def _lstm_recurrence_pallas(x_proj: jax.Array, mask: jax.Array,
+                            wh: jax.Array, chunk: int,
+                            interpret: bool,
+                            precision: jax.lax.Precision) -> jax.Array:
     T, B, H4 = x_proj.shape
     H = H4 // 4
     pad = (-T) % chunk
@@ -76,7 +98,7 @@ def lstm_recurrence_pallas(x_proj: jax.Array, mask: jax.Array,
     grid = (Tp // chunk,)
 
     out = pl.pallas_call(
-        _lstm_kernel,
+        functools.partial(_lstm_kernel, precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((chunk, B, H4), lambda i: (i, 0, 0),
@@ -98,5 +120,33 @@ def lstm_recurrence_pallas(x_proj: jax.Array, mask: jax.Array,
     return out[:T]
 
 
+_PROBE: bool | None = None
+
+
 def pallas_available() -> bool:
-    return jax.default_backend() in ("tpu", "axon")
+    """True iff the current backend can actually COMPILE this kernel.
+
+    Some TPU runtimes (notably relay/tunnelled plugins like 'axon') expose
+    a remote compiler that rejects Mosaic/Pallas lowerings. Rather than
+    crash mid-train-step when the 'pallas' backend is selected, probe once
+    by compiling a tiny instance; on failure warn and report unavailable so
+    ops/lstm.py falls back to the (measured-equivalent) lax.scan path."""
+    global _PROBE
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if _PROBE is None:
+        try:
+            fn = functools.partial(lstm_recurrence_pallas, chunk=8)
+            jax.jit(fn).lower(
+                jax.ShapeDtypeStruct((8, 8, 32), jnp.float32),
+                jax.ShapeDtypeStruct((8, 8), jnp.float32),
+                jax.ShapeDtypeStruct((8, 32), jnp.float32)).compile()
+            _PROBE = True
+        except Exception as e:  # noqa: BLE001 - any compile failure => scan
+            import warnings
+            warnings.warn(
+                "Pallas LSTM kernel unavailable on this TPU runtime "
+                f"({type(e).__name__}); falling back to the lax.scan "
+                "backend (equivalent performance on v5e).", stacklevel=2)
+            _PROBE = False
+    return _PROBE
