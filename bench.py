@@ -239,22 +239,27 @@ def ensure_bench_corpus(root: str = "/root/.radmmm_bench_corpus",
 
 
 def bench_train_e2e(f0_cache: bool, n_steps: int = 24,
-                    batch_size: int = 8) -> dict:
+                    batch_size: int = 8, megastep_k: int = 8) -> dict:
     """END-TO-END training throughput: product DataLoader (threaded wav IO)
     -> on-device featurization (mel + pYIN + beta-binomial prior) -> bf16
     train step, steady state, flagship model (VERDICT r3 next #2).
 
-    Measured with and without the F0 cache; the cached configuration is the
-    documented default for recipe training (on-the-fly pYIN serializes with
-    the train step on the same chip)."""
+    Uses the product megastep path (Trainer megastep_k: K same-shape raw
+    batches featurized + trained inside ONE jitted lax.scan), so the
+    per-dispatch host cost — ~27 ms RPC on this relay-attached chip, paid
+    TWICE per batch (featurize + step) in the naive loop — is paid once
+    per K batches. Measured with and without the F0 cache; the cached
+    configuration is the documented default for recipe training
+    (on-the-fly pYIN adds device time serialized with the train step)."""
     import jax
     from radmmm_tpu.data.module import AudioDataModule
     from radmmm_tpu.models.tts import TTSModel, default_radmmm_config
     from radmmm_tpu.ops.conv import set_conv_precision
     from radmmm_tpu.training.optim import build_optimizer
     from radmmm_tpu.training.step import (LossConfig, create_train_state,
-                                          device_batch, make_train_step,
-                                          make_whitening_init)
+                                          make_train_megastep,
+                                          make_whitening_init,
+                                          stack_raw_batches)
     from radmmm_tpu.utils.config import (load_configs,
                                          translate_reference_data_config)
 
@@ -292,9 +297,15 @@ def bench_train_e2e(f0_cache: bool, n_steps: int = 24,
     # measure steady state (shuffled epochs can produce a new max-shape
     # pairing mid-timing, which would time XLA compiles, not the pipeline)
     from radmmm_tpu.data.loader import DataLoader
+    feat = dm.featurizer
+    # uniform_shape + shape_runs: every batch collates to ONE dataset-global
+    # scheduled shape, so each epoch is exact runs of K same-shape batches
+    # (the trainer's megastep path uses per-bucket shapes; the bench corpus
+    # is too small for per-bucket K-runs to be guaranteed)
     loader = DataLoader(dm.trainset, batch_size, shuffle=False,
-                        featurizer=dm.featurizer, num_threads=4,
-                        hop_length=dm.featurizer.hop_length)
+                        featurizer=None, num_threads=4,
+                        hop_length=feat.hop_length, shape_runs=megastep_k,
+                        uniform_shape=True)
 
     dec = dict(default_radmmm_config().decoder)
     dec["remat"] = True
@@ -303,26 +314,56 @@ def bench_train_e2e(f0_cache: bool, n_steps: int = 24,
                          grad_clip_val=1.0)
     cfg = LossConfig(n_group_size=2, cross_covariance_weight=1.0,
                      speaker_reg={"variance": 0.0, "covariance": 0.0})
-    first = device_batch(next(iter(loader)))
+
+    def groups(k):
+        """K-runs of same-shape raw batches (prefetched loader thread)."""
+        pending, pshape = [], None
+        for host in loader:
+            raw = feat.raw_arrays(host)
+            shape = (raw["audio_i16"].shape, raw["text"].shape)
+            if pending and (shape != pshape or len(pending) == k):
+                yield pending
+                pending = []
+            pending.append(raw)
+            pshape = shape
+        if pending:
+            yield pending
+
+    first_raw = next(groups(1))[0]
+    first = feat.featurize_raw(
+        jax.tree.map(jax.numpy.asarray, first_raw), jax.random.key(9))
     state = create_train_state(model, tx, first, jax.random.key(0))
     state = jax.jit(make_whitening_init(model))(state, first)
-    step = jax.jit(make_train_step(model, cfg, tx, binarize=True,
-                                   kl_on=True), donate_argnums=0)
+    mega = jax.jit(make_train_megastep(model, cfg, tx, feat, binarize=True,
+                                       kl_on=True), donate_argnums=0)
 
     def run(n, timed):
         nonlocal state
         frames, done, t0 = 0, 0, time.perf_counter()
         loss = None
         while done < n:
-            for batch in loader:
+            full = 0
+            for group in groups(megastep_k):
                 if done >= n:
                     break
-                b = device_batch(batch)
-                state, metrics = step(state, b, jax.random.key(done))
+                if len(group) != megastep_k:
+                    continue  # tail group: skip (steady-state measurement)
+                full += 1
+                stacked = stack_raw_batches(group)
+                state, metrics = mega(state, stacked,
+                                      jax.random.key(done))
                 loss = metrics["loss"]
-                frames += int(np.asarray(batch["output_lengths"]).sum())
-                done += 1
-        float(loss)                       # drain the device queue
+                # real (unpadded) mel frames, matching the featurizer's
+                # output_lengths = 1 + audio_len // hop
+                frames += int(sum(
+                    (1 + r["audio_lengths"] // feat.hop_length).sum()
+                    for r in group))
+                done += megastep_k
+            if done < n and full == 0:
+                raise RuntimeError(
+                    "bench epoch produced no full megastep group — "
+                    "shape_runs scheduling failed")
+        float(loss[-1])                   # drain the device queue
         return frames / (time.perf_counter() - t0) if timed else None
 
     run(len(loader), timed=False)        # one full epoch: compile every bucket

@@ -214,39 +214,52 @@ class Featurizer:
     def _dequantize(self, audio_i16):
         return audio_i16.astype(jnp.float32) / 32768.0
 
-    def __call__(self, host_batch: Dict[str, Any]) -> Dict[str, Any]:
-        """host collate dict -> full train-step batch (device arrays)."""
+    def _next_noise_key(self):
         if self.mel_noise_scale > 0:
             noise_key = jax.random.key(self.seed)
             for n in (jax.process_index(), self._noise_base, self._n_calls):
                 noise_key = jax.random.fold_in(noise_key, n)
             self._n_calls += 1
-        else:  # unused by the jitted graph; avoid per-batch dispatches
-            if not hasattr(self, "_null_key"):
-                self._null_key = jax.random.key(self.seed)
-            noise_key = self._null_key
-        # ship audio to the device ONCE, as int16: wav sources are int16 so
-        # the /32768 round-trip is exact (augmented audio re-quantizes at
-        # -90 dB), and host->device bytes drop 4x vs uploading f32 here and
-        # again in the batch dict below
-        audio_np = host_batch["audio"]
-        audio_i16 = np.clip(np.rint(audio_np * 32768.0),
-                            -32768, 32767).astype(np.int16)
-        audio_dev = self._dequantize(jnp.asarray(audio_i16))
-        cached = host_batch.get("cached_f0")
+            return noise_key
+        # unused by the jitted graph; avoid per-batch dispatches
+        if not hasattr(self, "_null_key"):
+            self._null_key = jax.random.key(self.seed)
+        return self._null_key
+
+    def raw_arrays(self, host_batch: Dict[str, Any]) -> Dict[str, np.ndarray]:
+        """Host collate dict -> the pure-array inputs of the device
+        featurization graph (strings dropped, audio quantized to int16: wav
+        sources are int16 so the /32768 round-trip is exact, augmented audio
+        re-quantizes at -90 dB, and host->device bytes drop 4x vs f32)."""
+        raw = {k: v for k, v in host_batch.items()
+               if isinstance(v, np.ndarray) and k != "audio"}
+        raw["audio_i16"] = np.clip(np.rint(host_batch["audio"] * 32768.0),
+                                   -32768, 32767).astype(np.int16)
+        return raw
+
+    def featurize_raw(self, raw: Dict[str, Any], noise_key) -> Dict[str, Any]:
+        """Pure device featurization: raw_arrays() pytree -> train-step
+        batch. Traceable — the megastep (training/step.py
+        make_train_megastep) calls it inside lax.scan so K batches
+        featurize+train in ONE dispatch."""
+        audio = self._dequantize(raw["audio_i16"])
+        cached = raw.get("cached_f0")
         mel, mel_lens, f0, voiced, p_voiced, energy, prior = self._featurize(
-            audio_dev,
-            jnp.asarray(host_batch["audio_lengths"]),
-            jnp.asarray(host_batch["input_lengths"]),
-            int(host_batch["text"].shape[1]), noise_key,
-            jnp.asarray(cached) if cached is not None else None)
-        batch = {k: jnp.asarray(v) for k, v in host_batch.items()
-                 if isinstance(v, np.ndarray)
-                 and k not in ("audio", "cached_f0")}
-        batch["audio"] = audio_dev
+            audio, raw["audio_lengths"], raw["input_lengths"],
+            int(raw["text"].shape[1]), noise_key, cached)
+        batch = {k: v for k, v in raw.items()
+                 if k not in ("audio_i16", "cached_f0")}
+        batch["audio"] = audio
         batch.update(mel=mel, output_lengths=mel_lens, f0=f0,
                      voiced_mask=voiced, p_voiced=p_voiced,
                      energy_avg=energy, attn_prior=prior)
+        return batch
+
+    def __call__(self, host_batch: Dict[str, Any]) -> Dict[str, Any]:
+        """host collate dict -> full train-step batch (device arrays)."""
+        raw = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+               for k, v in self.raw_arrays(host_batch).items()}
+        batch = self.featurize_raw(raw, self._next_noise_key())
         for k in ("audiopaths", "text_raw", "language"):
             if k in host_batch:
                 batch[k] = host_batch[k]

@@ -25,7 +25,8 @@ class DataLoader:
                  hop_length: int = 256, drop_last: bool = False,
                  process_index: Optional[int] = None,
                  process_count: Optional[int] = None,
-                 uniform_shape: bool = False):
+                 uniform_shape: bool = False,
+                 shape_runs: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.featurizer = featurizer
@@ -45,7 +46,15 @@ class DataLoader:
         lengths = [u.duration for u in dataset.data]
         self._seed = seed
         self.batcher = BucketBatcher(lengths, batch_size, shuffle, seed)
-        if self.process_count > 1:
+        # single-process megastep scheduling: reorder each epoch's batches
+        # so same-(B, frames, text) batches come out in consecutive runs of
+        # up to `shape_runs`, padded to the scheduled shape — the trainer's
+        # megastep (K batches per device dispatch) then gets full K-groups
+        # by construction instead of by bucketing luck. Multi-host runs
+        # already shape-group per process round, so shape_runs is ignored.
+        self.shape_runs = int(shape_runs) if self.process_count == 1 else 0
+        self._runs_rng = np.random.default_rng(seed ^ 0x5EED)
+        if self.process_count > 1 or self.shape_runs > 0:
             # multi-host: every process must contribute a same-shaped local
             # batch to each global step (jax.make_array_from_process_local_
             # data requires it), so shapes are scheduled host-side from
@@ -111,8 +120,28 @@ class DataLoader:
         that can't fill a round are dropped (DDP drop_last semantics).
         """
         if self.process_count == 1:
+            if self.shape_runs <= 0:
+                for indices in self.batcher:
+                    yield indices, None
+                return
+            # megastep scheduling: group this epoch's batches by scheduled
+            # shape, chunk each group into runs of <= shape_runs, shuffle
+            # the RUN order (membership was already reshuffled by the
+            # batcher), and pin pad_to so every batch in a run collates to
+            # the identical padded shape.
+            by_key: dict = {}
             for indices in self.batcher:
-                yield indices, None
+                indices = np.asarray(indices)
+                by_key.setdefault(self._shape_key(indices), []).append(
+                    list(map(int, indices)))
+            runs = [(key, batches[i:i + self.shape_runs])
+                    for key, batches in by_key.items()
+                    for i in range(0, len(batches), self.shape_runs)]
+            if self.batcher.shuffle:
+                self._runs_rng.shuffle(runs)
+            for key, batches in runs:
+                for indices in batches:
+                    yield indices, key[1:]
             return
         pending: dict = {}
         dropped = 0

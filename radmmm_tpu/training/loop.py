@@ -26,8 +26,9 @@ from radmmm_tpu.parallel import mesh as pmesh
 from radmmm_tpu.training.optim import build_optimizer
 from radmmm_tpu.training.step import (LossConfig, TrainState,
                                       create_train_state, device_batch,
-                                      make_train_step, make_val_step,
-                                      make_whitening_init, phase_flags)
+                                      make_train_megastep, make_train_step,
+                                      make_val_step, make_whitening_init,
+                                      phase_flags, stack_raw_batches)
 from radmmm_tpu.utils.checkpoint import (CheckpointManager,
                                          ENCODER_SUBMODULES, freeze_wrap,
                                          load_pretrained_submodules)
@@ -90,6 +91,14 @@ class TrainerConfig:
     # directory (its latest step), a ckpt dir, or an explicit orbax step
     # dir like <run>/ckpt/9000. None = latest in output_directory/ckpt.
     ckpt_path: Optional[str] = None
+    # batches per device dispatch: >1 scans K same-shape batches
+    # (device featurization + train step) inside ONE jitted program
+    # (training/step.py make_train_megastep), amortizing the per-dispatch
+    # host cost K-fold so end-to-end throughput tracks the pure step time.
+    # Single-process runs only (multi-host keeps per-step dispatch for its
+    # shape-grouped global scheduling); partial/boundary-crossing groups
+    # fall back to per-batch steps.
+    megastep_k: int = 1
 
 
 class Trainer:
@@ -287,6 +296,50 @@ class Trainer:
         rng = jax.random.key(self.cfg.seed + 1)
         step = start_step
         t_last = time.perf_counter()
+        mega_k = self._megastep_k(dm)
+
+        def post_step(state, metrics, prev_step, step, n_steps):
+            """Shared log/val/ckpt/stop handling; interval tests are
+            'crossed a multiple of interval' so megasteps (step jumps of
+            K) hit every interval exactly once."""
+            nonlocal t_last
+
+            def crossed(interval):
+                return prev_step // interval != step // interval
+
+            if self.cfg.detect_anomaly:
+                if not np.all(np.isfinite(np.asarray(metrics["loss"]))):
+                    bad = {k: np.asarray(v).tolist()
+                           for k, v in metrics.items()}
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}: {bad}")
+            if crossed(self.cfg.log_interval):
+                # megastep metrics are stacked (K,): log the latest step's
+                m = {k: float(np.asarray(v).reshape(-1)[-1])
+                     for k, v in metrics.items()}
+                dt = time.perf_counter() - t_last
+                m["steps_per_sec"] = (step - prev_step) / dt if n_steps > 1 \
+                    else self.cfg.log_interval / dt
+                t_last = time.perf_counter()
+                self.logger.scalars("train", m, step)
+                print(f"step {step}: loss={m['loss']:.4f} "
+                      f"mel={m.get('loss_mel', 0):.4f} "
+                      f"({m['steps_per_sec']:.2f} it/s)")
+            if crossed(self.cfg.val_interval) and dm.valset:
+                self.validate(state, dm, val_step, step)
+            if crossed(self.cfg.iters_per_checkpoint):
+                self.ckpt.save(step, state,
+                               exclude_prefixes=self.frozen_prefixes)
+            if step >= self.cfg.max_steps:
+                self.ckpt.save(step, state,
+                               exclude_prefixes=self.frozen_prefixes)
+                return True
+            return False
+
+        if mega_k > 1:
+            return self._fit_loop_mega(dm, state, rng, step, mega_k,
+                                       post_step)
+
         for epoch in range(self.cfg.max_epochs):
             for batch in train_loader:
                 binarize, kl_on = phase_flags(step, self.loss_cfg)
@@ -312,30 +365,91 @@ class Trainer:
                     jax.block_until_ready(metrics["loss"])
                     jax.profiler.stop_trace()
                     print(f"profiler trace in {self.cfg.profile_dir}")
-                if self.cfg.detect_anomaly:
-                    loss_val = float(metrics["loss"])
-                    if not np.isfinite(loss_val):
-                        bad = {k: float(v) for k, v in metrics.items()}
-                        raise FloatingPointError(
-                            f"non-finite loss at step {step}: {bad}")
-                if step % self.cfg.log_interval == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
-                    dt = time.perf_counter() - t_last
-                    m["steps_per_sec"] = self.cfg.log_interval / dt
-                    t_last = time.perf_counter()
-                    self.logger.scalars("train", m, step)
-                    print(f"step {step}: loss={m['loss']:.4f} "
-                          f"mel={m.get('loss_mel', 0):.4f} "
-                          f"({m['steps_per_sec']:.2f} it/s)")
-                if step % self.cfg.val_interval == 0 and dm.valset:
-                    self.validate(state, dm, val_step, step)
-                if step % self.cfg.iters_per_checkpoint == 0:
-                    self.ckpt.save(step, state,
-                                   exclude_prefixes=self.frozen_prefixes)
-                if step >= self.cfg.max_steps:
-                    self.ckpt.save(step, state,
-                                   exclude_prefixes=self.frozen_prefixes)
+                if post_step(state, metrics, step - 1, step, 1):
                     return state
+        return state
+
+    def _megastep_k(self, dm) -> int:
+        """Resolve the effective megastep group size: configured K on
+        single-process, unmeshed (or 1-device-mesh) runs with a device
+        featurizer; 1 (per-batch dispatch) otherwise."""
+        k = int(self.cfg.megastep_k)
+        if k <= 1 or getattr(dm, "featurizer", None) is None:
+            return 1
+        if jax.process_count() > 1 or (
+                self.mesh is not None and self.mesh.size > 1):
+            print("megastep_k > 1 ignored: multi-device runs keep "
+                  "per-step dispatch (shape-grouped global scheduling)")
+            return 1
+        return k
+
+    def _fit_loop_mega(self, dm, state, rng, step, k, post_step):
+        """Megastep epochs: K same-shape raw batches -> one dispatch.
+
+        The loader yields RAW host collations (featurizer=None); groups of
+        K consecutive same-shape batches are stacked and run through
+        make_train_megastep. Partial groups (shape change, epoch tail) and
+        groups that would straddle a phase boundary (binarize/KL flags
+        must be static per executable) fall back to per-batch steps."""
+        from radmmm_tpu.data.loader import DataLoader
+        feat = dm.featurizer
+        loader = DataLoader(dm.trainset, dm.batch_size, shuffle=True,
+                            featurizer=None, num_threads=dm.num_threads,
+                            seed=dm.seed, hop_length=feat.hop_length,
+                            shape_runs=k)
+
+        def mega_fn(binarize, kl_on):
+            key = ("mega", binarize, kl_on)
+            if key not in self._step_cache:
+                fn = make_train_megastep(
+                    self.model, self.loss_cfg, self.tx, feat,
+                    binarize=binarize, kl_on=kl_on,
+                    sync_bn=self.cfg.use_syncbnorm)
+                self._step_cache[key] = jax.jit(fn, donate_argnums=0)
+            return self._step_cache[key]
+
+        def single(state, raw, key):
+            binarize, kl_on = phase_flags(step, self.loss_cfg)
+            batch = feat.featurize_raw(
+                jax.tree.map(jnp.asarray, raw), feat._next_noise_key())
+            return self._train_step_fn(binarize, kl_on)(state, batch, key)
+
+        def groups():
+            """Runs of <=k same-shape raw batches."""
+            pending, pshape = [], None
+            for host in loader:
+                raw = feat.raw_arrays(host)
+                shape = (raw["audio_i16"].shape, raw["text"].shape)
+                if pending and (shape != pshape or len(pending) == k):
+                    yield pending
+                    pending = []
+                pending.append(raw)
+                pshape = shape
+            if pending:
+                yield pending
+
+        for epoch in range(self.cfg.max_epochs):
+            for group in groups():
+                flags = phase_flags(step, self.loss_cfg)
+                whole = (len(group) == k
+                         and flags == phase_flags(step + k - 1,
+                                                  self.loss_cfg)
+                         and step + k <= self.cfg.max_steps)
+                rng, sub = jax.random.split(rng)
+                prev = step
+                if whole:
+                    stacked = stack_raw_batches(group)
+                    state, metrics = mega_fn(*flags)(state, stacked, sub)
+                    step += k
+                    if post_step(state, metrics, prev, step, k):
+                        return state
+                else:
+                    for raw in group:
+                        rng, sub = jax.random.split(rng)
+                        state, metrics = single(state, raw, sub)
+                        step += 1
+                        if post_step(state, metrics, step - 1, step, 1):
+                            return state
         return state
 
     # ------------------------------------------------------------------

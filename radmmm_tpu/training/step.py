@@ -199,6 +199,55 @@ def make_train_step(model: TTSModel, cfg: LossConfig,
     return train_step
 
 
+def stack_raw_batches(raws):
+    """Stack K same-shape raw_arrays() dicts along a new leading axis.
+
+    Host-side prep for make_train_megastep: the loader's bucketed shapes
+    make same-shape runs common, so K collated batches become ONE pytree
+    upload + ONE dispatch."""
+    import numpy as np
+    return {k: np.stack([r[k] for r in raws]) for k in raws[0]}
+
+
+def make_train_megastep(model: TTSModel, cfg: LossConfig,
+                        tx: optax.GradientTransformation,
+                        featurizer, binarize: bool, kl_on: bool,
+                        sync_bn: bool = False) -> Callable:
+    """K featurize+train steps in ONE jitted program.
+
+    Takes `stacked` — a stack_raw_batches() pytree with leading axis K —
+    and lax.scans the device featurization (mel/pYIN/priors,
+    data/collate.py Featurizer.featurize_raw) followed by the train step
+    over it. Purpose: a per-dispatch host cost (pytree flatten + RPC; ~27ms
+    on a relay-attached chip, still ~ms on a local PCIe host) is paid once
+    per K batches instead of twice per batch (featurize + step), so the
+    end-to-end product loop tracks the pure step time. The reference
+    overlaps featurization with CPU DataLoader workers (data.py:419-610);
+    on TPU the featurizer runs on-device, so the equivalent overlap is
+    batching the dispatches, not threading.
+
+    Returns (state, metrics) where each metric is stacked (K,) — the
+    caller logs metrics[-1] or the mean. jit with donate_argnums=0.
+    """
+    step_fn = make_train_step(model, cfg, tx, binarize=binarize,
+                              kl_on=kl_on, sync_bn=sync_bn)
+
+    def megastep(state: TrainState, stacked, dropout_rng):
+        K = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        keys = jax.vmap(lambda i: jax.random.fold_in(dropout_rng, i))(
+            jnp.arange(K))
+
+        def body(st, xs):
+            key, raw = xs
+            fkey, dkey = jax.random.split(key)
+            batch = featurizer.featurize_raw(raw, fkey)
+            return step_fn(st, batch, dkey)
+
+        return jax.lax.scan(body, state, (keys, stacked))
+
+    return megastep
+
+
 def make_val_step(model: TTSModel, cfg: LossConfig,
                   binarize: bool = True) -> Callable:
     def val_step(state: TrainState, batch):

@@ -274,3 +274,64 @@ def test_multihost_shape_grouped_scheduling():
     # short utterances land in the 128-frame bucket, long in 448
     assert scheds[0][0][1] == (128, 16)
     assert scheds[0][1][1] == (448, 48)
+
+
+def test_shape_runs_scheduling():
+    """shape_runs=K (single-process megastep scheduling) reorders an
+    epoch's batches into consecutive runs of up to K batches sharing one
+    pinned scheduled shape, without changing epoch membership."""
+    from types import SimpleNamespace
+
+    class StubDS:
+        sampling_rate = 22050
+
+        def __init__(self, durs, tlens):
+            self.data = [SimpleNamespace(duration=d) for d in durs]
+            self._tlens = tlens
+
+        def encoded_text_length(self, i):
+            return self._tlens[i]
+
+    # 6 batches of 4: four short-utterance batches, two long
+    durs = [1.0] * 16 + [5.0] * 8
+    tlens = [10] * 16 + [40] * 8
+    loader = DataLoader(StubDS(durs, tlens), batch_size=4, shuffle=False,
+                        featurizer=None, num_threads=1, shape_runs=3,
+                        process_index=0, process_count=1)
+    sched = list(loader._my_batches())
+    assert len(sched) == 6                       # membership preserved
+    seen = sorted(i for indices, _ in sched for i in indices)
+    assert seen == list(range(24))
+    for indices, pad_to in sched:
+        assert pad_to is not None                # pinned shapes
+    # runs: same-shape batches are consecutive, each run <= K
+    keys = [pad_to for _, pad_to in sched]
+    assert keys == [(128, 16)] * 3 + [(128, 16)] + [(448, 48)] * 2
+    # uniform_shape composes: every batch gets the dataset-global shape
+    uloader = DataLoader(StubDS(durs, tlens), batch_size=4, shuffle=False,
+                         featurizer=None, num_threads=1, shape_runs=3,
+                         uniform_shape=True,
+                         process_index=0, process_count=1)
+    ukeys = [p for _, p in uloader._my_batches()]
+    assert ukeys == [(448, 48)] * 6
+    # shuffle=True keeps runs intact while permuting run order
+    sloader = DataLoader(StubDS(durs, tlens), batch_size=4, shuffle=True,
+                         featurizer=None, num_threads=1, shape_runs=3,
+                         process_index=0, process_count=1)
+    sched_s = list(sloader._my_batches())
+    assert sorted(i for idx, _ in sched_s for i in idx) == list(range(24))
+    skeys = [p for _, p in sched_s]
+    # grouping property: a key with c batches appears in exactly
+    # ceil(c/K) maximal runs — interleaving would create more
+    runs_per_key: dict = {}
+    i = 0
+    while i < len(skeys):
+        j = i
+        while j < len(skeys) and skeys[j] == skeys[i]:
+            j += 1
+        runs_per_key[skeys[i]] = runs_per_key.get(skeys[i], 0) + 1
+        i = j
+    for key, n_runs in runs_per_key.items():
+        # <=: adjacent same-key runs merge into one maximal run;
+        # interleaving would exceed the bound
+        assert n_runs <= -(-skeys.count(key) // 3)

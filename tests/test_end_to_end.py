@@ -217,3 +217,37 @@ def test_validate_logs_samples_and_artifacts(cfg_files, tmp_path):
     assert {"val_attention_hard.png", "val_attention_soft.png",
             "val_mel_gt.png", "val_mel_reconstructed.png",
             "val_reconstruction.wav", "val_attributes.png"} <= files
+
+
+def test_fit_megastep_loop(cfg_files, tmp_path):
+    """fit with trainer.megastep_k=2: the megastep loop must cover phase
+    boundaries (binarization_start_iter=3 forces per-batch fallback around
+    step 3, whole groups elsewhere), count steps correctly, checkpoint,
+    and produce finite losses. (Numerical equivalence of the megastep vs
+    sequential steps is proven in test_training.py with matched keys.)"""
+    mpath, dpath, outdir, root = cfg_files
+    cfg = load_configs([mpath, dpath])
+    cfg["model"]["output_directory"] = str(tmp_path / "megarun")
+    cfg["trainer"].update(max_steps=6, val_check_interval=1000,
+                          n_data=1, n_model=1, megastep_k=2)
+    # batchsize 2 -> 2 batches/epoch: the 0.4-0.7 s utterances all land in
+    # the same (64-frame, 16-token) scheduled bucket, so shape_runs yields
+    # full K=2 groups and the whole-group megastep branch actually runs
+    cfg["data"]["init_args"]["batchsize"] = 2
+    dm, trainer = build_all(cfg)
+    assert trainer.cfg.megastep_k == 2
+    state = trainer.fit(dm, resume=False)
+    assert int(state.step) >= 6
+    assert trainer.ckpt.latest_step() is not None
+    # the megastep executable was compiled and used (whole K-groups ran;
+    # phase boundaries at steps 3/4 fall back to per-batch steps)
+    assert any(k[0] == "mega" for k in trainer._step_cache), \
+        "megastep branch never engaged"
+    # metrics.jsonl rows written at interval crossings with finite losses
+    import json as _json
+    mfile = os.path.join(str(tmp_path / "megarun"), "tb", "metrics.jsonl")
+    rows = [_json.loads(l) for l in open(mfile)] if os.path.exists(mfile) \
+        else []
+    for r in rows:
+        if "train/loss" in r:
+            assert np.isfinite(r["train/loss"])

@@ -134,3 +134,72 @@ def test_data_parallel_step_8_devices(rng):
     l1 = np.asarray(s1.params["text_embeddings"]["embedding"])
     l8 = np.asarray(s8.params["text_embeddings"]["embedding"])
     np.testing.assert_allclose(l8, l1, atol=2e-4)
+
+
+def test_megastep_matches_sequential_steps():
+    """make_train_megastep (K raw batches featurized+trained inside one
+    lax.scan) must reproduce K sequential featurize_raw + train_step calls
+    with the same key schedule — the one-dispatch product loop can't change
+    the math."""
+    from radmmm_tpu.data.collate import Featurizer, collate_host
+    from radmmm_tpu.training.step import (make_train_megastep,
+                                          stack_raw_batches)
+
+    feat = Featurizer(filter_length=256, hop_length=64, win_length=256,
+                      n_mel_channels=8, sampling_rate=22050,
+                      f0_min=120.0, f0_max=500.0, f0_method="yin")
+    rng = np.random.default_rng(3)
+    K, B, S, T_text = 2, 2, 4096, 7
+
+    def host_batch(i):
+        items = []
+        for b in range(B):
+            t = np.arange(S - 300 * b, dtype=np.float32) / 22050.0
+            audio = 0.3 * np.sin(2 * np.pi * 220.0 * (1 + 0.1 * b + i) * t)
+            audio += 0.01 * rng.standard_normal(audio.size)
+            items.append({
+                "audio": audio.astype(np.float32),
+                "text_encoded": rng.integers(0, 30, (T_text - b,)),
+                "speaker_id": b, "accent_id": b % 2,
+                "speaker_f0_mean": 5.0, "speaker_f0_std": 0.3,
+                "speaker_energy_mean": 0.5, "speaker_energy_std": 0.15,
+                "audiopath": f"u{i}_{b}.wav", "text_raw": "x",
+                "language": "en_US", "idx": i * B + b,
+            })
+        return collate_host(items, hop_length=64)
+
+    raws = [feat.raw_arrays(host_batch(i)) for i in range(K)]
+
+    model = TTSModel(config=tiny_config())
+    tx = build_optimizer("RAdam", learning_rate=1e-3)
+    cfg = LossConfig(n_group_size=2)
+    key = jax.random.key(11)
+
+    batch0 = feat.featurize_raw(jax.tree.map(jnp.asarray, raws[0]),
+                                jax.random.key(0))
+    state = create_train_state(model, tx, batch0, jax.random.key(0))
+
+    mega = jax.jit(make_train_megastep(model, cfg, tx, feat,
+                                       binarize=False, kl_on=False))
+    s_mega, metrics = mega(state, stack_raw_batches(raws), key)
+    assert np.asarray(metrics["loss"]).shape == (K,)
+
+    # sequential reference with the megastep's exact key schedule
+    step = jax.jit(make_train_step(model, cfg, tx, binarize=False,
+                                   kl_on=False))
+    s_seq, seq_losses = state, []
+    for i, raw in enumerate(raws):
+        fkey, dkey = jax.random.split(jax.random.fold_in(key, i))
+        batch = feat.featurize_raw(jax.tree.map(jnp.asarray, raw), fkey)
+        s_seq, m = step(s_seq, batch, dkey)
+        seq_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(np.asarray(metrics["loss"]),
+                               np.asarray(seq_losses), rtol=2e-5, atol=2e-5)
+    leaves_m = jax.tree_util.tree_leaves_with_path(s_mega.params)
+    leaves_s = dict(jax.tree_util.tree_leaves_with_path(s_seq.params))
+    for path, lm in leaves_m:
+        np.testing.assert_allclose(
+            np.asarray(lm), np.asarray(leaves_s[path]), rtol=2e-5,
+            atol=2e-5, err_msg=jax.tree_util.keystr(path))
+    assert int(s_mega.step) == int(state.step) + K
