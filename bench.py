@@ -188,13 +188,23 @@ def bench_training(precision: str = "f32", prefix: str = "train",
 
 
 def ensure_bench_corpus(root: str = "/root/.radmmm_bench_corpus",
-                        n_utts: int = 64) -> str:
-    """Synthesize (once, cached on disk) a training-shaped corpus: ~6 s
-    utterances (matching the step bench's 512-frame items), 3 speakers,
-    with the standard demo-corpus file layout (filelist, lexicon, speaker
-    stats, data.yaml)."""
+                        n_utts: int = 64, version: int = 2) -> str:
+    """Synthesize (once, cached on disk) a training-shaped corpus: ~6.5 s
+    utterances, 3 speakers, with the standard demo-corpus file layout
+    (filelist, lexicon, speaker stats, data.yaml).
+
+    Utterance durations are banded into ONE 64-frame mel bucket
+    (6.35-6.62 s -> 576 scheduled frames) so the e2e throughput rows
+    measure the pipeline, not padding waste from length spread (a real
+    corpus would amortize spread across many shape buckets; 64 synthetic
+    utterances cannot)."""
+    vfile = os.path.join(root, "VERSION")
     if os.path.exists(os.path.join(root, "data.yaml")):
-        return root
+        if (os.path.exists(vfile)
+                and open(vfile).read().strip() == str(version)):
+            return root
+        import shutil
+        shutil.rmtree(root)          # stale layout: rebuild from scratch
     import json
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "scripts"))
@@ -206,11 +216,18 @@ def ensure_bench_corpus(root: str = "/root/.radmmm_bench_corpus",
     os.makedirs(wav_dir, exist_ok=True)
     speakers = list(mdc.SPEAKERS)
     rows, spk_f0 = {"train": [], "val": []}, {s: [] for s in speakers}
+    smin, smax = int(6.35 * mdc.SR), int(6.62 * mdc.SR)
     for i in range(n_utts + 4):
         spk = speakers[i % len(speakers)]
-        words = [mdc.WORDS[int(rng.integers(0, len(mdc.WORDS)))]
-                 for _ in range(int(rng.integers(16, 22)))]
-        wav, f0s = mdc.synth_utterance(words, mdc.SPEAKERS[spk], rng)
+        while True:                  # grow words until inside the band
+            words = [mdc.WORDS[int(rng.integers(0, len(mdc.WORDS)))]
+                     for _ in range(12)]
+            wav, f0s = mdc.synth_utterance(words, mdc.SPEAKERS[spk], rng)
+            while wav.size < smin:
+                words.append(mdc.WORDS[int(rng.integers(0, len(mdc.WORDS)))])
+                wav, f0s = mdc.synth_utterance(words, mdc.SPEAKERS[spk], rng)
+            if wav.size <= smax:
+                break
         spk_f0[spk].append(f0s)
         name = f"utt{i:04d}.wav"
         wavfile.write(os.path.join(wav_dir, name), mdc.SR,
@@ -235,6 +252,8 @@ def ensure_bench_corpus(root: str = "/root/.radmmm_bench_corpus",
     with open(os.path.join(root, "prompts.json"), "w") as f:
         json.dump([], f)
     mdc._write_configs(root)
+    with open(vfile, "w") as f:
+        f.write(str(version))
     return root
 
 
@@ -258,8 +277,7 @@ def bench_train_e2e(f0_cache: bool, n_steps: int = 24,
     from radmmm_tpu.training.optim import build_optimizer
     from radmmm_tpu.training.step import (LossConfig, create_train_state,
                                           make_train_megastep,
-                                          make_whitening_init,
-                                          stack_raw_batches)
+                                          make_whitening_init)
     from radmmm_tpu.utils.config import (load_configs,
                                          translate_reference_data_config)
 
@@ -302,8 +320,10 @@ def bench_train_e2e(f0_cache: bool, n_steps: int = 24,
     # scheduled shape, so each epoch is exact runs of K same-shape batches
     # (the trainer's megastep path uses per-bucket shapes; the bench corpus
     # is too small for per-bucket K-runs to be guaranteed)
+    from radmmm_tpu.data.loader import prefetch_stacked_groups
     loader = DataLoader(dm.trainset, batch_size, shuffle=False,
                         featurizer=None, num_threads=4,
+                        prefetch=max(2, megastep_k),
                         hop_length=feat.hop_length, shape_runs=megastep_k,
                         uniform_shape=True)
 
@@ -338,26 +358,27 @@ def bench_train_e2e(f0_cache: bool, n_steps: int = 24,
                                        kl_on=True), donate_argnums=0)
 
     def run(n, timed):
+        # the product path: prefetch_stacked_groups stacks + device_puts
+        # each K-group from a daemon thread, so wav IO, collate, and the
+        # host->device upload all ride under the previous group's compute
         nonlocal state
         frames, done, t0 = 0, 0, time.perf_counter()
         loss = None
         while done < n:
             full = 0
-            for group in groups(megastep_k):
+            for ng, stacked, lens in prefetch_stacked_groups(
+                    loader, feat, megastep_k):
                 if done >= n:
                     break
-                if len(group) != megastep_k:
+                if ng != megastep_k:
                     continue  # tail group: skip (steady-state measurement)
                 full += 1
-                stacked = stack_raw_batches(group)
                 state, metrics = mega(state, stacked,
                                       jax.random.key(done))
                 loss = metrics["loss"]
                 # real (unpadded) mel frames, matching the featurizer's
                 # output_lengths = 1 + audio_len // hop
-                frames += int(sum(
-                    (1 + r["audio_lengths"] // feat.hop_length).sum()
-                    for r in group))
+                frames += int((1 + lens // feat.hop_length).sum())
                 done += megastep_k
             if done < n and full == 0:
                 raise RuntimeError(

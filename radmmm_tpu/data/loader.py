@@ -18,6 +18,75 @@ from typing import Callable, Iterable, Optional
 from radmmm_tpu.data.collate import BucketBatcher, collate_host
 
 
+def stack_raw_batches(raws):
+    """Stack K same-shape raw_arrays() dicts along a new leading axis.
+
+    Host-side prep for the megastep (training/step.py
+    make_train_megastep): the loader's shape_runs scheduling makes
+    same-shape runs the norm, so K collated batches become ONE pytree
+    upload + ONE dispatch."""
+    return {k: np.stack([r[k] for r in raws]) for k in raws[0]}
+
+
+def prefetch_stacked_groups(loader, featurizer, k: int, depth: int = 2):
+    """Yield (n, stacked_device_pytree, audio_lengths_host) groups of up to
+    `k` same-shape raw batches, with stacking + host->device transfer
+    pipelined in a daemon thread `depth` groups ahead.
+    audio_lengths_host is the (n, B) numpy copy of the group's audio
+    lengths, kept host-side so consumers can count real frames without a
+    device fetch.
+
+    Why: on a relay-attached chip the upload of a stacked K-group (tens of
+    MB of int16 audio) costs a large fraction of the megastep's device
+    time; issued asynchronously ahead of consumption it rides under the
+    previous group's compute instead of serializing with it. jax.device_put
+    is thread-safe and asynchronous — the queue holds in-flight transfers.
+
+    The consumer decides group vs per-batch fallback (phase boundaries):
+    a partial or boundary-straddling group is unstacked on device with
+    jax.tree.map(lambda x: x[i], stacked) at negligible cost.
+    """
+    import jax
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    sentinel = object()
+
+    def producer():
+        try:
+            pending, pshape = [], None
+
+            def flush():
+                if pending:
+                    stacked = stack_raw_batches(pending)
+                    lens = np.array(stacked["audio_lengths"])
+                    q.put((len(pending), jax.device_put(stacked), lens))
+                    pending.clear()
+
+            for host in loader:
+                raw = featurizer.raw_arrays(host)
+                shape = (raw["audio_i16"].shape, raw["text"].shape)
+                if pending and (shape != pshape or len(pending) == k):
+                    flush()
+                pending.append(raw)
+                pshape = shape
+            flush()
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  featurizer: Optional[Callable] = None,

@@ -28,7 +28,7 @@ from radmmm_tpu.training.step import (LossConfig, TrainState,
                                       create_train_state, device_batch,
                                       make_train_megastep, make_train_step,
                                       make_val_step, make_whitening_init,
-                                      phase_flags, stack_raw_batches)
+                                      phase_flags)
 from radmmm_tpu.utils.checkpoint import (CheckpointManager,
                                          ENCODER_SUBMODULES, freeze_wrap,
                                          load_pretrained_submodules)
@@ -386,17 +386,20 @@ class Trainer:
     def _fit_loop_mega(self, dm, state, rng, step, k, post_step):
         """Megastep epochs: K same-shape raw batches -> one dispatch.
 
-        The loader yields RAW host collations (featurizer=None); groups of
-        K consecutive same-shape batches are stacked and run through
-        make_train_megastep. Partial groups (shape change, epoch tail) and
-        groups that would straddle a phase boundary (binarize/KL flags
-        must be static per executable) fall back to per-batch steps."""
-        from radmmm_tpu.data.loader import DataLoader
+        The loader yields RAW host collations (featurizer=None) scheduled
+        into same-shape runs of K (shape_runs); prefetch_stacked_groups
+        stacks each run and issues the host->device transfer from a daemon
+        thread so the upload rides under the previous group's compute.
+        Whole groups run through make_train_megastep; partial groups
+        (shape change, epoch tail) and groups that would straddle a phase
+        boundary (binarize/KL flags must be static per executable) are
+        unstacked on device and fall back to per-batch steps."""
+        from radmmm_tpu.data.loader import DataLoader, prefetch_stacked_groups
         feat = dm.featurizer
         loader = DataLoader(dm.trainset, dm.batch_size, shuffle=True,
                             featurizer=None, num_threads=dm.num_threads,
-                            seed=dm.seed, hop_length=feat.hop_length,
-                            shape_runs=k)
+                            prefetch=max(2, k), seed=dm.seed,
+                            hop_length=feat.hop_length, shape_runs=k)
 
         def mega_fn(binarize, kl_on):
             key = ("mega", binarize, kl_on)
@@ -410,41 +413,26 @@ class Trainer:
 
         def single(state, raw, key):
             binarize, kl_on = phase_flags(step, self.loss_cfg)
-            batch = feat.featurize_raw(
-                jax.tree.map(jnp.asarray, raw), feat._next_noise_key())
+            batch = feat.featurize_raw(raw, feat._next_noise_key())
             return self._train_step_fn(binarize, kl_on)(state, batch, key)
 
-        def groups():
-            """Runs of <=k same-shape raw batches."""
-            pending, pshape = [], None
-            for host in loader:
-                raw = feat.raw_arrays(host)
-                shape = (raw["audio_i16"].shape, raw["text"].shape)
-                if pending and (shape != pshape or len(pending) == k):
-                    yield pending
-                    pending = []
-                pending.append(raw)
-                pshape = shape
-            if pending:
-                yield pending
-
         for epoch in range(self.cfg.max_epochs):
-            for group in groups():
+            for n, stacked, _ in prefetch_stacked_groups(loader, feat, k):
                 flags = phase_flags(step, self.loss_cfg)
-                whole = (len(group) == k
+                whole = (n == k
                          and flags == phase_flags(step + k - 1,
                                                   self.loss_cfg)
                          and step + k <= self.cfg.max_steps)
                 rng, sub = jax.random.split(rng)
                 prev = step
                 if whole:
-                    stacked = stack_raw_batches(group)
                     state, metrics = mega_fn(*flags)(state, stacked, sub)
                     step += k
                     if post_step(state, metrics, prev, step, k):
                         return state
                 else:
-                    for raw in group:
+                    for i in range(n):
+                        raw = jax.tree.map(lambda x, i=i: x[i], stacked)
                         rng, sub = jax.random.split(rng)
                         state, metrics = single(state, raw, sub)
                         step += 1

@@ -200,13 +200,10 @@ def make_train_step(model: TTSModel, cfg: LossConfig,
 
 
 def stack_raw_batches(raws):
-    """Stack K same-shape raw_arrays() dicts along a new leading axis.
-
-    Host-side prep for make_train_megastep: the loader's bucketed shapes
-    make same-shape runs common, so K collated batches become ONE pytree
-    upload + ONE dispatch."""
-    import numpy as np
-    return {k: np.stack([r[k] for r in raws]) for k in raws[0]}
+    """Stack K same-shape raw_arrays() dicts along a new leading axis
+    (host-side prep for make_train_megastep; see data/loader.py)."""
+    from radmmm_tpu.data.loader import stack_raw_batches as _stack
+    return _stack(raws)
 
 
 def make_train_megastep(model: TTSModel, cfg: LossConfig,
