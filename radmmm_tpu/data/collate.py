@@ -214,6 +214,17 @@ class Featurizer:
     def _dequantize(self, audio_i16):
         return audio_i16.astype(jnp.float32) / 32768.0
 
+    def noise_key_for_step(self, step):
+        """Deterministic mel-noise key for global trainer step `step` (host
+        int or traced scalar): fold_in(key(seed), process_index, step).
+        The megastep scan and its per-batch fallback both key the stream on
+        the global step, so the same data sees ONE augmentation sequence
+        regardless of group scheduling, and resume at step N continues the
+        stream exactly (no set_noise_base needed on this path)."""
+        key = jax.random.fold_in(jax.random.key(self.seed),
+                                 jax.process_index())
+        return jax.random.fold_in(key, step)
+
     def _next_noise_key(self):
         if self.mel_noise_scale > 0:
             noise_key = jax.random.key(self.seed)

@@ -50,41 +50,70 @@ def prefetch_stacked_groups(loader, featurizer, k: int, depth: int = 2):
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        """Timed put that gives up when the consumer is gone — an abandoned
+        generator (early break / exception) must not leave this daemon
+        thread blocked on a full queue pinning stacked device groups."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             pending, pshape = [], None
 
             def flush():
+                ok = True
                 if pending:
                     stacked = stack_raw_batches(pending)
                     lens = np.array(stacked["audio_lengths"])
-                    q.put((len(pending), jax.device_put(stacked), lens))
+                    ok = put((len(pending), jax.device_put(stacked), lens))
                     pending.clear()
+                return ok
 
             for host in loader:
+                if stop.is_set():
+                    return
                 raw = featurizer.raw_arrays(host)
                 shape = (raw["audio_i16"].shape, raw["text"].shape)
                 if pending and (shape != pshape or len(pending) == k):
-                    flush()
+                    if not flush():
+                        return
                 pending.append(raw)
                 pshape = shape
             flush()
         except BaseException as e:  # propagate into the consumer
-            q.put(e)
+            put(e)
         finally:
-            q.put(sentinel)
+            put(sentinel)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
-    t.join()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
+    finally:
+        # consumer exited (normally, by break, or by exception): release the
+        # producer and drain any in-flight groups so their device buffers
+        # (tens of MB each) are dropped promptly
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 class DataLoader:

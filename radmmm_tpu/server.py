@@ -54,9 +54,11 @@ class DeviceDispatcher:
     thread for the blocking fetch double-buffers the device: the next
     request's dispatch overlaps the previous request's execution + fetch."""
 
-    def __init__(self, fn, depth: int = 8):
+    def __init__(self, fn, depth: int = 8, timeout: float = 120.0):
         self._fn = fn
         self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._closed = False
+        self._timeout = timeout
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -72,11 +74,16 @@ class DeviceDispatcher:
                 fut.set_exception(e)
 
     def __call__(self, *args):
+        if self._closed:
+            raise RuntimeError("DeviceDispatcher is closed")
         fut: concurrent.futures.Future = concurrent.futures.Future()
         self._q.put((args, fut))
-        return fut.result()
+        # bounded wait: if the dispatch thread dies or the device wedges,
+        # handler threads fail fast instead of hanging until process exit
+        return fut.result(timeout=self._timeout)
 
     def close(self):
+        self._closed = True
         self._q.put(None)
         self._thread.join(timeout=5.0)
 
@@ -271,9 +278,17 @@ def serve(artifact: str, host: str = "127.0.0.1", port: int = 8001,
           hop_length: int = 256) -> ThreadingHTTPServer:
     tp = build_text_processor(text_config) if text_config else None
     service = TTSService(artifact, tp, sampling_rate, hop_length)
+
+    class _Server(ThreadingHTTPServer):
+        # a clean shutdown must also stop the dispatch thread; without this
+        # hook server_close() leaves it (and any queued requests) hanging
+        def server_close(self):
+            super().server_close()
+            service._dispatch.close()
+
     # threaded handlers + single-threaded device dispatch (DeviceDispatcher)
     # = pipelined serving: host work overlaps device compute
-    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd = _Server((host, port), make_handler(service))
     httpd.service = service
     return httpd
 

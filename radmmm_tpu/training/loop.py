@@ -296,13 +296,14 @@ class Trainer:
         rng = jax.random.key(self.cfg.seed + 1)
         step = start_step
         t_last = time.perf_counter()
+        step_last_logged = step
         mega_k = self._megastep_k(dm)
 
         def post_step(state, metrics, prev_step, step, n_steps):
             """Shared log/val/ckpt/stop handling; interval tests are
             'crossed a multiple of interval' so megasteps (step jumps of
             K) hit every interval exactly once."""
-            nonlocal t_last
+            nonlocal t_last, step_last_logged
 
             def crossed(interval):
                 return prev_step // interval != step // interval
@@ -318,9 +319,13 @@ class Trainer:
                 m = {k: float(np.asarray(v).reshape(-1)[-1])
                      for k, v in metrics.items()}
                 dt = time.perf_counter() - t_last
-                m["steps_per_sec"] = (step - prev_step) / dt if n_steps > 1 \
-                    else self.cfg.log_interval / dt
+                # steps since the LAST LOG, not since the previous step:
+                # with megastep K < log_interval the elapsed dt spans
+                # several megasteps, so dividing only the last jump would
+                # under-report by ~log_interval/K
+                m["steps_per_sec"] = (step - step_last_logged) / dt
                 t_last = time.perf_counter()
+                step_last_logged = step
                 self.logger.scalars("train", m, step)
                 print(f"step {step}: loss={m['loss']:.4f} "
                       f"mel={m.get('loss_mel', 0):.4f} "
@@ -413,7 +418,9 @@ class Trainer:
 
         def single(state, raw, key):
             binarize, kl_on = phase_flags(step, self.loss_cfg)
-            batch = feat.featurize_raw(raw, feat._next_noise_key())
+            # same (seed, process, step)-keyed noise stream as the megastep
+            # scan, so fallback steps don't fork the augmentation sequence
+            batch = feat.featurize_raw(raw, feat.noise_key_for_step(step))
             return self._train_step_fn(binarize, kl_on)(state, batch, key)
 
         for epoch in range(self.cfg.max_epochs):

@@ -235,8 +235,12 @@ def make_train_megastep(model: TTSModel, cfg: LossConfig,
             jnp.arange(K))
 
         def body(st, xs):
-            key, raw = xs
-            fkey, dkey = jax.random.split(key)
+            dkey, raw = xs
+            # mel-noise key from the featurizer's own (seed, process,
+            # global step) stream — identical to the per-batch fallback
+            # path, so group scheduling never changes the augmentation a
+            # given step sees (ADVICE r4)
+            fkey = featurizer.noise_key_for_step(st.step)
             batch = featurizer.featurize_raw(raw, fkey)
             return step_fn(st, batch, dkey)
 

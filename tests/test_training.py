@@ -184,12 +184,16 @@ def test_megastep_matches_sequential_steps():
     s_mega, metrics = mega(state, stack_raw_batches(raws), key)
     assert np.asarray(metrics["loss"]).shape == (K,)
 
-    # sequential reference with the megastep's exact key schedule
+    # sequential reference with the megastep's exact key schedule: dropout
+    # keys fold the call key per scan index; mel-noise keys come from the
+    # featurizer's (seed, process, global step) stream — identical to the
+    # trainer's per-batch fallback path (ADVICE r4)
     step = jax.jit(make_train_step(model, cfg, tx, binarize=False,
                                    kl_on=False))
     s_seq, seq_losses = state, []
     for i, raw in enumerate(raws):
-        fkey, dkey = jax.random.split(jax.random.fold_in(key, i))
+        dkey = jax.random.fold_in(key, i)
+        fkey = feat.noise_key_for_step(int(s_seq.step))
         batch = feat.featurize_raw(jax.tree.map(jnp.asarray, raw), fkey)
         s_seq, m = step(s_seq, batch, dkey)
         seq_losses.append(float(m["loss"]))
