@@ -27,6 +27,8 @@ from radmmm_tpu.vocoder.hifigan import (Generator, HiFiGANConfig,
                                         MultiPeriodDiscriminator,
                                         MultiScaleDiscriminator,
                                         feature_loss, discriminator_loss,
+                                        gaussian_blur_augment,
+                                        gaussian_blur_kernels,
                                         generator_adv_loss)
 
 
@@ -46,6 +48,15 @@ class VocoderTrainConfig:
     win_length: int = 1024
     mel_fmax: Optional[float] = 8000.0
     mel_fmax_loss: Optional[float] = None   # full-band mel for the loss
+    # Gaussian-blur input augmentation for GAN vocoder training
+    # (GaussianBlurAugmentation, reference vocoders/hifigan_models.py:56-101;
+    # enabled there via 'blur' checkpoints at p=0.5): with probability
+    # blur_p the generator's input mel is blurred by a random-sigma 2-D
+    # Gaussian, regularizing the discriminators against over-sharp mels.
+    blur_p: float = 0.0
+    blur_kernel_size: Tuple[int, int] = (5, 5)
+    blur_sigmas: Tuple[float, ...] = (0.5, 1.0, 1.5, 2.0)
+    seed: int = 0
 
 
 @dataclasses.dataclass
@@ -75,6 +86,9 @@ class HiFiGANTrainer:
                                   b2=cfg.adam_b2)
         self.disc_tx = optax.adamw(cfg.learning_rate, b1=cfg.adam_b1,
                                    b2=cfg.adam_b2)
+        self._blur_kernels = (gaussian_blur_kernels(cfg.blur_kernel_size,
+                                                    cfg.blur_sigmas)
+                              if cfg.blur_p > 0 else None)
 
     def init_state(self, rng, batch) -> VocoderTrainState:
         mel, audio = batch["mel"], batch["audio"]
@@ -96,6 +110,14 @@ class HiFiGANTrainer:
     def train_step(self, state: VocoderTrainState, batch):
         """One GAN step: discriminator update then generator update."""
         mel, audio = batch["mel"], batch["audio"]
+        if self._blur_kernels is not None:
+            # blur the GENERATOR's input once per step (the reference blurs
+            # inside Generator.forward, reused for both D and G passes);
+            # the mel-loss target mel_r stays the clean data mel
+            key = jax.random.fold_in(jax.random.key(self.cfg.seed),
+                                     state.step)
+            mel = gaussian_blur_augment(mel, key, self._blur_kernels,
+                                        self.cfg.blur_p)
 
         y_hat = self.gen.apply({"params": state.gen_params}, mel)
         y_hat_sg = jax.lax.stop_gradient(y_hat)

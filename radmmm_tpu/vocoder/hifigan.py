@@ -108,6 +108,52 @@ def conv_transpose1d(x, kernel, bias=None, stride=1, padding=0):
     return y if bias is None else y + bias[None, None, :]
 
 
+def gaussian_blur_kernels(kernel_size: Tuple[int, int] = (5, 5),
+                          sigmas: Tuple[float, ...] = (0.5, 1.0, 1.5, 2.0)):
+    """Bank of normalized 2-D Gaussian kernels, (n_sigmas, k_mel, k_time).
+
+    The separable product-of-1D-Gaussians construction of the reference's
+    GaussianBlurAugmentation.initialize_kernels
+    (vocoders/hifigan_models.py:65-86), built host-side once as a constant
+    (the reference registers a buffer; here the bank is closed over by the
+    jitted step)."""
+    grids = np.meshgrid(*[np.arange(s, dtype=np.float32)
+                          for s in kernel_size], indexing="ij")
+    ks = []
+    for sigma in sigmas:
+        k = np.ones(kernel_size, np.float32)
+        for size, g in zip(kernel_size, grids):
+            mean = (size - 1) / 2
+            k = k * np.exp(-((g - mean) / sigma) ** 2 / 2) \
+                / (sigma * np.sqrt(2 * np.pi))
+        ks.append(k / k.sum())
+    return jnp.asarray(np.stack(ks))
+
+
+def gaussian_blur_augment(mel, key, kernels, p_blurring: float):
+    """Discriminator-training input augmentation: with probability
+    ``p_blurring`` blur the (B, T, n_mel) mel with a kernel drawn uniformly
+    from ``kernels`` (GaussianBlurAugmentation.forward,
+    vocoders/hifigan_models.py:92-101; reflect padding, depthwise 2-D conv).
+
+    TPU-shaped: the whole bank indexes with a traced draw and the
+    apply/skip choice is a jnp.where — one compiled program, no
+    data-dependent Python control flow."""
+    kb, ki = jax.random.split(key)
+    i = jax.random.randint(ki, (), 0, kernels.shape[0])
+    # reference kernel dims are (mel, time) on a (B, 1, n_mel, T) image;
+    # our layout is (B, T, n_mel) -> NHWC with H=time, W=mel
+    k2d = jnp.transpose(kernels[i])[..., None, None]       # (k_t, k_m, 1, 1)
+    pad_t = (kernels.shape[2] - 1) // 2
+    pad_m = (kernels.shape[1] - 1) // 2
+    x = jnp.pad(mel, ((0, 0), (pad_t, pad_t), (pad_m, pad_m)),
+                mode="reflect")
+    blurred = jax.lax.conv_general_dilated(
+        x[..., None], k2d, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
+    return jnp.where(jax.random.uniform(kb, ()) <= p_blurring, blurred, mel)
+
+
 class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3

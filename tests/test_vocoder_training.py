@@ -135,3 +135,73 @@ def test_istftnet_generator_trains(rng):
     final = {k: float(v) for k, v in metrics.items()}
     assert np.isfinite(list(final.values())).all()
     assert final["gen_mel"] < first["gen_mel"]
+
+
+def test_gaussian_blur_augmentation():
+    """Kernel bank + augment semantics of the reference's
+    GaussianBlurAugmentation (vocoders/hifigan_models.py:56-101): kernels
+    are the torch construction verbatim (torch-oracle check), constant
+    fields are fixed points under reflect padding, p gates apply/skip."""
+    import torch
+    import math
+    from radmmm_tpu.vocoder.hifigan import (gaussian_blur_augment,
+                                            gaussian_blur_kernels)
+
+    kernel_size, sigmas = (5, 5), (0.5, 1.0, 2.0)
+    bank = np.asarray(gaussian_blur_kernels(kernel_size, sigmas))
+
+    # torch oracle: the reference's initialize_kernels body
+    mesh_grids = torch.meshgrid(
+        [torch.arange(s, dtype=torch.float32) for s in kernel_size],
+        indexing="ij")
+    for i, sigma in enumerate(sigmas):
+        kernel = 1
+        for size, std, mgrid in zip(kernel_size, [sigma] * 2, mesh_grids):
+            mean = (size - 1) / 2
+            kernel = kernel * (1 / (std * math.sqrt(2 * math.pi))
+                               * torch.exp(-((mgrid - mean) / std) ** 2 / 2))
+        kernel = kernel / torch.sum(kernel)
+        np.testing.assert_allclose(bank[i], kernel.numpy(), rtol=1e-6,
+                                   atol=1e-7)
+
+    mel = jnp.asarray(np.random.default_rng(0)
+                      .standard_normal((2, 32, 16)).astype(np.float32))
+    kernels = gaussian_blur_kernels(kernel_size, sigmas)
+    key = jax.random.key(3)
+    # p=0 -> identity; p=1 -> actually blurred (variance shrinks)
+    out0 = gaussian_blur_augment(mel, key, kernels, 0.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(mel))
+    out1 = gaussian_blur_augment(mel, key, kernels, 1.0)
+    assert out1.shape == mel.shape
+    assert float(jnp.var(out1)) < float(jnp.var(mel))
+    # reflect padding keeps constants exactly invariant
+    const = jnp.full((1, 16, 8), 0.7)
+    outc = gaussian_blur_augment(const, key, kernels, 1.0)
+    np.testing.assert_allclose(np.asarray(outc), 0.7, rtol=1e-5)
+
+
+def test_hifigan_trainer_with_blur_runs():
+    """blur_p > 0 trains finite and changes the generator input path."""
+    from radmmm_tpu.training.vocoder_train import (HiFiGANTrainer,
+                                                   VocoderTrainConfig,
+                                                   random_segments)
+    from radmmm_tpu.ops.stft import MelSpectrogram
+    from radmmm_tpu.vocoder.hifigan import HiFiGANConfig
+
+    gen_cfg = HiFiGANConfig(upsample_rates=(8, 4), upsample_kernel_sizes=(16, 8),
+                            upsample_initial_channel=16,
+                            resblock_kernel_sizes=(3,),
+                            resblock_dilation_sizes=((1,),))
+    cfg = VocoderTrainConfig(segment_size=1024, hop_length=32,
+                             filter_length=128, win_length=128,
+                             blur_p=0.5)
+    trainer = HiFiGANTrainer(gen_cfg, cfg)
+    mel_fn = MelSpectrogram(128, 32, 128, 80, 22050, 0.0, None)
+    audio = np.stack([tone(220.0, dur=0.1), tone(330.0, dur=0.1)])
+    lens = np.array([len(audio[0])] * 2)
+    batch = random_segments(audio, lens, mel_fn, cfg.segment_size,
+                            np.random.default_rng(0))
+    state = trainer.init_state(jax.random.key(0), batch)
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, batch)
+    assert np.isfinite([float(v) for v in metrics.values()]).all()
