@@ -28,7 +28,8 @@ def stack_raw_batches(raws):
     return {k: np.stack([r[k] for r in raws]) for k in raws[0]}
 
 
-def prefetch_stacked_groups(loader, featurizer, k: int, depth: int = 2):
+def prefetch_stacked_groups(loader, featurizer, k: int, depth: int = 2,
+                            sharding=None):
     """Yield (n, stacked_device_pytree, audio_lengths_host) groups of up to
     `k` same-shape raw batches, with stacking + host->device transfer
     pipelined in a daemon thread `depth` groups ahead.
@@ -42,11 +43,27 @@ def prefetch_stacked_groups(loader, featurizer, k: int, depth: int = 2):
     previous group's compute instead of serializing with it. jax.device_put
     is thread-safe and asynchronous — the queue holds in-flight transfers.
 
+    ``sharding``: optional NamedSharding for the stacked (K, B, ...) pytree
+    — P(None, 'data') lays the batch dim over the mesh's data axis, so the
+    megastep composes with data-parallel meshes. Multi-process runs
+    assemble the global array from each process's local stack
+    (jax.make_array_from_process_local_data), the same semantics as
+    parallel.mesh.shard_batch but for whole K-groups.
+
     The consumer decides group vs per-batch fallback (phase boundaries):
     a partial or boundary-straddling group is unstacked on device with
     jax.tree.map(lambda x: x[i], stacked) at negligible cost.
     """
     import jax
+
+    def put_group(stacked):
+        if sharding is None:
+            return jax.device_put(stacked)
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)), stacked)
+        return jax.device_put(stacked, sharding)
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     sentinel = object()
@@ -73,7 +90,7 @@ def prefetch_stacked_groups(loader, featurizer, k: int, depth: int = 2):
                 if pending:
                     stacked = stack_raw_batches(pending)
                     lens = np.array(stacked["audio_lengths"])
-                    ok = put((len(pending), jax.device_put(stacked), lens))
+                    ok = put((len(pending), put_group(stacked), lens))
                     pending.clear()
                 return ok
 
@@ -144,13 +161,15 @@ class DataLoader:
         lengths = [u.duration for u in dataset.data]
         self._seed = seed
         self.batcher = BucketBatcher(lengths, batch_size, shuffle, seed)
-        # single-process megastep scheduling: reorder each epoch's batches
-        # so same-(B, frames, text) batches come out in consecutive runs of
-        # up to `shape_runs`, padded to the scheduled shape — the trainer's
+        # megastep scheduling: reorder each epoch's batches so same-
+        # (B, frames, text) batches come out in consecutive runs of up to
+        # `shape_runs`, padded to the scheduled shape — the trainer's
         # megastep (K batches per device dispatch) then gets full K-groups
         # by construction instead of by bucketing luck. Multi-host runs
-        # already shape-group per process round, so shape_runs is ignored.
-        self.shape_runs = int(shape_runs) if self.process_count == 1 else 0
+        # chunk each shape group's completed process-rounds into the same
+        # runs on every process (the batcher sequence is seed-identical),
+        # so the K-group boundaries agree globally.
+        self.shape_runs = int(shape_runs)
         self._runs_rng = np.random.default_rng(seed ^ 0x5EED)
         if self.process_count > 1 or self.shape_runs > 0:
             # multi-host: every process must contribute a same-shaped local
@@ -242,6 +261,7 @@ class DataLoader:
                     yield indices, key[1:]
             return
         pending: dict = {}
+        runs_pending: dict = {}
         dropped = 0
         for indices in self.batcher:
             indices = np.asarray(indices)
@@ -249,8 +269,23 @@ class DataLoader:
             group = pending.setdefault(key, [])
             group.append(indices)
             if len(group) == self.process_count:
-                yield list(map(int, group[self.process_index])), key[1:]
+                mine = list(map(int, group[self.process_index]))
                 pending[key] = []
+                if self.shape_runs <= 0:
+                    yield mine, key[1:]
+                    continue
+                # buffer completed rounds into runs of K: every process
+                # sees the same (key, round) sequence, so the emitted runs
+                # (and hence the megastep K-group boundaries) agree globally
+                run = runs_pending.setdefault(key, [])
+                run.append(mine)
+                if len(run) == self.shape_runs:
+                    for m in run:
+                        yield m, key[1:]
+                    runs_pending[key] = []
+        for key, run in runs_pending.items():   # partial runs at epoch end
+            for m in run:
+                yield m, key[1:]
         dropped = sum(len(g) for g in pending.values())
         if dropped and not self._warned_drop and self.process_index == 0:
             self._warned_drop = True

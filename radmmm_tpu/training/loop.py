@@ -95,10 +95,11 @@ class TrainerConfig:
     # (device featurization + train step) inside ONE jitted program
     # (training/step.py make_train_megastep), amortizing the per-dispatch
     # host cost K-fold so end-to-end throughput tracks the pure step time.
-    # Single-process runs only (multi-host keeps per-step dispatch for its
-    # shape-grouped global scheduling); partial/boundary-crossing groups
-    # fall back to per-batch steps.
-    megastep_k: int = 1
+    # Composes with data×model meshes (stacked groups shard their batch dim
+    # on `data`) and with multi-host runs (the loader emits globally
+    # agreeing K-runs); partial/boundary-crossing groups fall back to
+    # per-batch steps.
+    megastep_k: int = 8
 
 
 class Trainer:
@@ -375,17 +376,25 @@ class Trainer:
         return state
 
     def _megastep_k(self, dm) -> int:
-        """Resolve the effective megastep group size: configured K on
-        single-process, unmeshed (or 1-device-mesh) runs with a device
-        featurizer; 1 (per-batch dispatch) otherwise."""
+        """Resolve the effective megastep group size: configured K whenever
+        a device featurizer exists and the (global) batch divides the data
+        axis; 1 (per-batch dispatch) otherwise.
+
+        Meshes compose: stacked (K, B, ...) groups are laid out with the
+        batch dim on the `data` axis (prefetch_stacked_groups sharding) and
+        multi-host runs emit globally agreeing K-runs from the loader's
+        shape-grouped schedule, so the megastep scan is one SPMD program on
+        any data×model mesh."""
         k = int(self.cfg.megastep_k)
         if k <= 1 or getattr(dm, "featurizer", None) is None:
             return 1
-        if jax.process_count() > 1 or (
-                self.mesh is not None and self.mesh.size > 1):
-            print("megastep_k > 1 ignored: multi-device runs keep "
-                  "per-step dispatch (shape-grouped global scheduling)")
-            return 1
+        if self.mesh is not None:
+            n_data = self.mesh.shape[pmesh.DATA_AXIS]
+            B_global = dm.batch_size * jax.process_count()
+            if B_global % n_data != 0:
+                print(f"megastep_k > 1 ignored: global batch {B_global} "
+                      f"is not divisible by the data axis ({n_data})")
+                return 1
         return k
 
     def _fit_loop_mega(self, dm, state, rng, step, k, post_step):
@@ -399,12 +408,16 @@ class Trainer:
         (shape change, epoch tail) and groups that would straddle a phase
         boundary (binarize/KL flags must be static per executable) are
         unstacked on device and fall back to per-batch steps."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
         from radmmm_tpu.data.loader import DataLoader, prefetch_stacked_groups
         feat = dm.featurizer
         loader = DataLoader(dm.trainset, dm.batch_size, shuffle=True,
                             featurizer=None, num_threads=dm.num_threads,
                             prefetch=max(2, k), seed=dm.seed,
                             hop_length=feat.hop_length, shape_runs=k)
+        # stacked (K, B, ...) groups ride the mesh with batch on `data`
+        group_sharding = (NamedSharding(self.mesh, P(None, pmesh.DATA_AXIS))
+                          if self.mesh is not None else None)
 
         def mega_fn(binarize, kl_on):
             key = ("mega", binarize, kl_on)
@@ -424,7 +437,8 @@ class Trainer:
             return self._train_step_fn(binarize, kl_on)(state, batch, key)
 
         for epoch in range(self.cfg.max_epochs):
-            for n, stacked, _ in prefetch_stacked_groups(loader, feat, k):
+            for n, stacked, _ in prefetch_stacked_groups(
+                    loader, feat, k, sharding=group_sharding):
                 flags = phase_flags(step, self.loss_cfg)
                 whole = (n == k
                          and flags == phase_flags(step + k - 1,

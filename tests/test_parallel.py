@@ -100,3 +100,92 @@ def test_n_model_4_train_step():
     assert np.isfinite(float(metrics["loss"]))
     pmesh.assert_tp_layout(new_state.params, mesh, min_sharded=n_tp)
     assert coll.get("all-reduce", {}).get("count", 0) > 0
+
+
+def test_megastep_on_mesh_matches_sequential():
+    """megastep ∘ mesh: K stacked raw batches with the batch dim sharded on
+    `data` (loop.py group_sharding), scanned through featurize+train inside
+    one SPMD program, must equal K sequential sharded featurize+step calls
+    (VERDICT r4 next #2)."""
+    import jax.numpy as jnp
+    from radmmm_tpu.data.collate import Featurizer, collate_host
+    from radmmm_tpu.models.tts import TTSModel
+    from radmmm_tpu.parallel import mesh as pmesh
+    from radmmm_tpu.training.optim import build_optimizer
+    from radmmm_tpu.training.step import (LossConfig, create_train_state,
+                                          make_train_megastep,
+                                          make_train_step,
+                                          stack_raw_batches)
+    from jax.sharding import NamedSharding
+    from tests.test_tts_model import tiny_config
+
+    feat = Featurizer(filter_length=256, hop_length=64, win_length=256,
+                      n_mel_channels=8, sampling_rate=22050,
+                      f0_min=120.0, f0_max=500.0, f0_method="yin")
+    rng = np.random.default_rng(5)
+    K, B, S, T_text = 2, 4, 4096, 7
+
+    def host_batch(i):
+        items = []
+        for b in range(B):
+            t = np.arange(S - 200 * b, dtype=np.float32) / 22050.0
+            audio = 0.3 * np.sin(2 * np.pi * 200.0 * (1 + 0.1 * b + i) * t)
+            audio += 0.01 * rng.standard_normal(audio.size)
+            items.append({
+                "audio": audio.astype(np.float32),
+                "text_encoded": rng.integers(0, 30, (T_text - b % 2,)),
+                "speaker_id": b % 2, "accent_id": b % 2,
+                "speaker_f0_mean": 5.0, "speaker_f0_std": 0.3,
+                "speaker_energy_mean": 0.5, "speaker_energy_std": 0.15,
+                "audiopath": f"u{i}_{b}.wav", "text_raw": "x",
+                "language": "en_US", "idx": i * B + b,
+            })
+        return collate_host(items, hop_length=64)
+
+    raws = [feat.raw_arrays(host_batch(i)) for i in range(K)]
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = TTSModel(config=tiny_config())
+    tx = build_optimizer("RAdam", learning_rate=1e-3)
+    cfg = LossConfig(n_group_size=2)
+    key = jax.random.key(11)
+
+    batch0 = feat.featurize_raw(jax.tree.map(jnp.asarray, raws[0]),
+                                jax.random.key(0))
+    state = create_train_state(model, tx, batch0, jax.random.key(0))
+    state = pmesh.shard_state(state, mesh, tx)
+
+    # the trainer's group layout: (K, B, ...) with batch on the data axis
+    gsh = NamedSharding(mesh, P(None, pmesh.DATA_AXIS))
+    stacked = jax.device_put(stack_raw_batches(raws), gsh)
+    assert all(x.sharding.spec[1] == pmesh.DATA_AXIS
+               for x in jax.tree_util.tree_leaves(stacked))
+
+    with jax.set_mesh(mesh):
+        mega = jax.jit(make_train_megastep(model, cfg, tx, feat,
+                                           binarize=False, kl_on=False))
+        s_mega, metrics = mega(state, stacked,
+                               jax.device_put(key, pmesh.replicated(mesh)))
+    assert np.isfinite(np.asarray(metrics["loss"])).all()
+
+    # sequential reference: same key schedule, per-batch sharded steps
+    step = make_train_step(model, cfg, tx, binarize=False, kl_on=False)
+    s_seq = state
+    with jax.set_mesh(mesh):
+        jstep = jax.jit(step)
+        for i, raw in enumerate(raws):
+            fkey = feat.noise_key_for_step(int(jax.device_get(s_seq.step)))
+            batch = feat.featurize_raw(
+                pmesh.shard_batch(jax.tree.map(np.asarray, raw), mesh), fkey)
+            dkey = jax.device_put(jax.random.fold_in(key, i),
+                                  pmesh.replicated(mesh))
+            s_seq, m = jstep(s_seq, batch, dkey)
+
+    np.testing.assert_allclose(float(metrics["loss"][-1]), float(m["loss"]),
+                               rtol=2e-5, atol=2e-5)
+    leaves_m = jax.tree_util.tree_leaves_with_path(s_mega.params)
+    leaves_s = dict(jax.tree_util.tree_leaves_with_path(s_seq.params))
+    for path, lm in leaves_m:
+        np.testing.assert_allclose(
+            np.asarray(lm), np.asarray(leaves_s[path]), rtol=2e-5,
+            atol=2e-5, err_msg=jax.tree_util.keystr(path))
