@@ -455,22 +455,37 @@ def measure_relay_rtt(n: int = 5) -> float:
     return float(np.median(ts))
 
 
-def bench_serving(model, variables, vocoder, voc_vars,
+def bench_serving(model, variables, heads,
                   n_requests: int = 12, max_frames: int = 800,
                   hop: int = 256, sr: int = 22050) -> dict:
     """Serving-shaped latency AND pipelined throughput: REAL mixed-length
     texts (the vendored LJSpeech val filelist, phonemized) through the full
     text->audio jit.
 
+    Every timed number includes what a CLIENT receives (VERDICT r4 next
+    #3): the jit quantizes to int16 PCM ON DEVICE (a WAV response is
+    16-bit anyway — serving.py make_tts_fn pcm_int16 — and int16 halves
+    the device->host bytes vs f32), and force() fetches the FULL waveform
+    host-side, so audio egress sits inside every latency/RTF row. The
+    tunnel's raw egress bandwidth is reported alongside
+    (relay_egress_mbps) so its share is attributable — this bench box
+    reaches the chip over a stdio relay; production PCIe moves the same
+    bytes 2 orders of magnitude faster.
+
+    heads: {"": (hifigan_v1, vars), "_istftnet": (head, vars)} — the v1
+    rows are the reference-comparable numbers; the iSTFTNet head
+    (trainable via `vocoder-fit`, near-V1 quality per arXiv:2203.02395)
+    is the production low-latency configuration.
+
     Two request shapes (B=8 latency bucket, B=32 throughput bucket), each
-    measured two ways (VERDICT r3 next #3):
-    - sync: one request at a time, dispatch->fetch, p50/p95 + realized RTF
-      (the relay dispatch cost sits in every request — reported separately
-      as relay_dispatch_ms);
-    - pipelined: depth-2 double buffering exactly like the production
-      server (radmmm_tpu/server.py DeviceDispatcher): request i+1 is
-      dispatched while request i's outputs stream back, so host work and
-      the dispatch RPC hide behind device compute.
+    measured two ways:
+    - sync: one request at a time, dispatch->full fetch, p50/p95 +
+      realized RTF (the relay dispatch cost sits in every request —
+      reported separately as relay_dispatch_ms);
+    - pipelined: depth-3 buffering like the production server
+      (radmmm_tpu/server.py DeviceDispatcher): requests i+1, i+2 are
+      dispatched while request i's waveform streams back, so host work,
+      the dispatch RPC, and the egress all hide behind device compute.
     """
     import os
     import jax
@@ -489,7 +504,7 @@ def bench_serving(model, variables, vocoder, voc_vars,
     enc = [e for e in enc if 8 <= len(e) <= 192]
     T_pad = 192
 
-    def make_serve(B):
+    def make_serve(B, vocoder, vv):
         @jax.jit
         def serve(v, vv, text, text_lens, spk, acc, key):
             out = model.apply(v, key, text, text_lens, spk,
@@ -498,8 +513,12 @@ def bench_serving(model, variables, vocoder, voc_vars,
                               max_frames=max_frames, method=TTSModel.infer)
             mel = out["mel"].astype(jnp.bfloat16)
             audio = vocoder.apply(vv, mel)
-            return audio.astype(jnp.float32), out["lens"].lengths
-        return serve
+            # int16 PCM on device: the client gets 16-bit WAV; quantizing
+            # before the fetch halves egress bytes (serving.py pcm_int16)
+            pcm = jnp.round(jnp.clip(audio.astype(jnp.float32), -1.0, 1.0)
+                            * 32767.0).astype(jnp.int16)
+            return pcm, out["lens"].lengths
+        return functools.partial(serve, variables, vv)
 
     def make_request(B, rng, key_i):
         pick = rng.choice(len(enc), B, replace=True)
@@ -513,54 +532,80 @@ def bench_serving(model, variables, vocoder, voc_vars,
         return (jnp.asarray(text), jnp.asarray(lens), spk, acc,
                 jax.random.key(int(key_i)))
 
+    def force(res):
+        """Fetch EVERYTHING a response needs: the full int16 waveform +
+        lengths. Returns (audio seconds produced, bytes fetched)."""
+        audio, out_lens = res
+        a = np.asarray(audio)                     # full device->host fetch
+        out_lens = np.asarray(out_lens)
+        return (float(out_lens.sum()) * hop / sr,
+                a.nbytes + out_lens.nbytes)
+
     out = {}
+    DEPTH = 3
     for B in (8, 32):
-        serve = make_serve(B)
-        rng = np.random.default_rng(0)
-        tag = f"b{B}"
+        for suffix, (vocoder, vv) in heads.items():
+            serve = make_serve(B, vocoder, vv)
+            rng = np.random.default_rng(0)
+            tag = f"b{B}{suffix}"
 
-        def dispatch(key_i, rng=rng, serve=serve):
-            args = make_request(B, rng, key_i)
-            return serve(variables, voc_vars, *args)
+            def dispatch(key_i, rng=rng, serve=serve, B=B):
+                args = make_request(B, rng, key_i)
+                return serve(*args)
 
-        def force(res):
-            audio, out_lens = res
-            out_lens = np.asarray(out_lens)
-            float(np.asarray(audio[0, 0]))
-            return float(out_lens.sum()) * hop / sr
+            force(dispatch(0))                    # compile + warm
 
-        force(dispatch(0))                       # compile + warm
+            # --- sync: request-at-a-time latency, dispatch -> full fetch
+            lat, audio_s = [], 0.0
+            for i in range(n_requests):
+                t0 = time.perf_counter()
+                audio_s += force(dispatch(i + 1))[0]
+                lat.append(time.perf_counter() - t0)
+            lat = np.sort(np.asarray(lat))
+            out[f"serving_{tag}_p50_ms"] = round(
+                float(lat[len(lat) // 2]) * 1e3, 1)
+            out[f"serving_{tag}_p95_ms"] = round(
+                float(lat[int(len(lat) * 0.95)]) * 1e3, 1)
+            out[f"serving_{tag}_rtf_sync"] = round(
+                audio_s / float(lat.sum()), 1)
 
-        # --- sync: request-at-a-time latency
-        lat, audio_s = [], 0.0
-        for i in range(n_requests):
+            # --- pipelined: depth-3 buffering (server.py semantics)
+            from collections import deque
+            inflight, audio_s, nbytes = deque(), 0.0, 0
             t0 = time.perf_counter()
-            audio_s += force(dispatch(i + 1))
-            lat.append(time.perf_counter() - t0)
-        lat = np.sort(np.asarray(lat))
-        out[f"serving_{tag}_p50_ms"] = round(float(lat[len(lat) // 2]) * 1e3, 1)
-        out[f"serving_{tag}_p95_ms"] = round(
-            float(lat[int(len(lat) * 0.95)]) * 1e3, 1)
-        out[f"serving_{tag}_rtf_sync"] = round(audio_s / float(lat.sum()), 1)
+            for i in range(2 * n_requests):
+                inflight.append(dispatch(100 + i))
+                if len(inflight) >= DEPTH:
+                    s, nb = force(inflight.popleft())
+                    audio_s, nbytes = audio_s + s, nbytes + nb
+            while inflight:
+                s, nb = force(inflight.popleft())
+                audio_s, nbytes = audio_s + s, nbytes + nb
+            wall = time.perf_counter() - t0
+            out[f"serving_{tag}_rtf_pipelined"] = round(audio_s / wall, 1)
+            if B == 32 and suffix == "":
+                out["serving_fetched_mb_per_request"] = round(
+                    nbytes / (2 * n_requests) / 1e6, 2)
 
-        # --- pipelined: depth-2 double buffering (server.py semantics)
-        from collections import deque
-        inflight, audio_s = deque(), 0.0
-        t0 = time.perf_counter()
-        for i in range(2 * n_requests):
-            inflight.append(dispatch(100 + i))
-            if len(inflight) >= 2:
-                audio_s += force(inflight.popleft())
-        while inflight:
-            audio_s += force(inflight.popleft())
-        wall = time.perf_counter() - t0
-        out[f"serving_{tag}_rtf_pipelined"] = round(audio_s / wall, 1)
+    # Raw egress bandwidth of the device->host path, measured on a result
+    # whose compute is already complete: dispatch request A, force a later
+    # tiny program's output (the TPU executes in order, so A is done),
+    # then time the fetch of A's waveform — pure transfer, no compute.
+    serve32 = make_serve(32, *heads[""])
+    rng = np.random.default_rng(1)
+    res = serve32(*make_request(32, rng, 999))
+    fence = jax.jit(lambda x: x + 1)(jnp.zeros(()))
+    float(fence)                                  # A's compute is done
+    t0 = time.perf_counter()
+    a = np.asarray(res[0])
+    dt = time.perf_counter() - t0
+    out["relay_egress_mbps"] = round(a.nbytes / dt / 1e6, 1)
 
     # headline serving row: the throughput bucket, pipelined (B=8 sync
     # latencies answer the latency question; this answers throughput)
     out["serving_rtf"] = out["serving_b32_rtf_pipelined"]
     out["serving_batch"] = 32
-    # back-compat aliases for the r3 artifact's key names
+    # back-compat aliases for the r3/r4 artifacts' key names
     out["serving_p50_ms"] = out["serving_b8_p50_ms"]
     out["serving_p95_ms"] = out["serving_b8_p95_ms"]
     return out
@@ -690,11 +735,22 @@ def main():
         gen_istft_n_fft=16, gen_istft_hop=4))
     eprint("stage rtf istftnet:", round(rtf_istft, 2))
 
-    # serving-shaped latency (real mixed-length LJS texts, B=8 sync)
-    voc = Generator(config=HiFiGANConfig())
-    vv = jax.jit(voc.init)(jax.random.key(7), jnp.zeros((1, 32, 80)))
-    vv = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), vv)
-    serving = bench_serving(model, variables, voc, vv)
+    # serving-shaped latency (real mixed-length LJS texts): HiFi-GAN v1
+    # rows are reference-comparable; iSTFTNet rows are the production
+    # low-latency head
+    def make_head(cfg):
+        voc = Generator(config=cfg)
+        vv = jax.jit(voc.init)(jax.random.key(7), jnp.zeros((1, 32, 80)))
+        return voc, jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), vv)
+
+    heads = {
+        "": make_head(HiFiGANConfig()),
+        "_istftnet": make_head(HiFiGANConfig(
+            upsample_rates=(8, 8), upsample_kernel_sizes=(16, 16),
+            gen_istft_n_fft=16, gen_istft_hop=4)),
+    }
+    serving = bench_serving(model, variables, heads)
     eprint("stage serving:", serving)
 
     print(json.dumps({

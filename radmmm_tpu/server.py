@@ -89,9 +89,18 @@ class DeviceDispatcher:
 
 
 def _wav_bytes(pcm: np.ndarray, sr: int) -> bytes:
-    """float32 [-1, 1] -> 16-bit PCM WAV container bytes."""
-    x = np.clip(np.asarray(pcm, np.float32), -1.0, 1.0)
-    i16 = (x * 32767.0).astype("<i2")
+    """float32 [-1, 1] or int16 PCM -> 16-bit WAV container bytes.
+
+    Current artifacts quantize to int16 ON DEVICE (serving.py make_tts_fn
+    pcm_int16) so the device->host fetch moves half the bytes; those pass
+    straight through. Float arrays (older artifacts, mel-free debug paths)
+    are quantized here instead."""
+    pcm = np.asarray(pcm)
+    if pcm.dtype == np.int16:
+        i16 = pcm.astype("<i2", copy=False)
+    else:
+        x = np.clip(pcm.astype(np.float32, copy=False), -1.0, 1.0)
+        i16 = (x * 32767.0).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -244,7 +253,10 @@ def make_handler(service: TTSService):
                 self._json(200, {
                     "lens": [int(x) for x in lens],
                     "output": service.output_kind,
-                    "data": [it.astype(np.float32).round(5).tolist()
+                    # int16 PCM artifacts scale back to float for JSON
+                    "data": [(it.astype(np.float32) / 32767.0
+                              if it.dtype == np.int16
+                              else it.astype(np.float32)).round(5).tolist()
                              for it in items]})
 
     return Handler

@@ -112,6 +112,59 @@ def test_multibucket_export_dispatch(tmp_path):
                np.int32(0))
 
 
+def test_vocoder_export_int16_pcm(tmp_path):
+    """Audio artifacts quantize to int16 PCM ON DEVICE (half the serving
+    egress per fetched sample): the exported output must be int16 and equal
+    the f32 path quantized on host."""
+    from radmmm_tpu.vocoder.hifigan import Generator, HiFiGANConfig
+
+    rng = np.random.default_rng(2)
+    model = TTSModel(config=tiny_config())
+    batch = tiny_batch(rng)
+    variables = jax.jit(
+        functools.partial(model.init, binarize=False, train=True))(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            batch)
+    voc = Generator(config=HiFiGANConfig(
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 3), (1, 3)), n_mel_channels=8))
+    voc_vars = jax.jit(voc.init)(jax.random.key(7), jnp.zeros((1, 16, 8)))
+
+    B, T = 1, 8
+    path = str(tmp_path / "tts_audio.bin")
+    export_tts(model, variables, path, batch_size=B, max_text=T,
+               sigma=0.8, max_frames=32, vocoder=voc, vocoder_vars=voc_vars)
+    served = load_tts(path)
+    args = (rng.integers(1, 30, (B, T)).astype(np.int32),
+            np.asarray([T], np.int32), np.asarray([0], np.int32),
+            np.asarray([0], np.int32), np.asarray([5.0], np.float32),
+            np.asarray([0.3], np.float32), np.int32(4))
+    audio, lens = served(*args)
+    audio = np.asarray(audio)
+    assert audio.dtype == np.int16 and audio.ndim == 2
+    assert audio.shape[1] == 32 * 8  # max_frames * prod(upsample_rates)
+
+    f32 = jax.jit(make_tts_fn(model, variables, sigma=0.8, max_frames=32,
+                              vocoder=voc, vocoder_vars=voc_vars,
+                              pcm_int16=False))
+    ref, ref_lens = f32(*[jnp.asarray(a) for a in args])
+    want = np.round(np.clip(np.asarray(ref), -1, 1) * 32767.0)
+    np.testing.assert_array_equal(np.asarray(ref_lens), np.asarray(lens))
+    # rounding boundary wiggle: allow 1 LSB
+    assert np.abs(audio.astype(np.float64) - want).max() <= 1
+
+    # the server's WAV encoder passes int16 through unscaled
+    from radmmm_tpu.server import _wav_bytes
+    blob = _wav_bytes(audio[0], 22050)
+    import io
+    import wave
+    with wave.open(io.BytesIO(blob)) as w:
+        assert w.getsampwidth() == 2 and w.getnframes() == audio.shape[1]
+        got = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+    np.testing.assert_array_equal(got, audio[0])
+
+
 def test_trainer_export_from_checkpoint(tmp_path):
     """CLI-facing path: Trainer.export restores the checkpoint and writes a
     loadable artifact (mel-only: no vocoder ckpt configured)."""
