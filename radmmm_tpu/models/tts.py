@@ -337,41 +337,58 @@ class TTSModel(nn.Module):
         return outputs
 
     # ---- inference --------------------------------------------------------
-    def infer(self, rng, text, text_lens, speaker_ids,
-              decoder_speaker_ids=None, f0_speaker_ids=None,
-              energy_speaker_ids=None, duration_speaker_ids=None,
-              accent_ids=None, f0_mean=None, f0_std=None, sigma: float = 1.0,
-              max_frames: int = 1024, shift_stats: bool = True,
-              token_duration_max: int = 100):
-        """Full TTS sampling (sample_full, tts_lightning_modules.py:286-384).
+    def infer_durations(self, text, text_lens, duration_speaker_ids,
+                        accent_ids=None, token_duration_max: int = 100):
+        """Stage A of two-stage serving: text -> encoder states, token
+        durations, and total frame counts.
 
-        Returns dict with mel (B, max_frames, n_mel) (descaled) and lens.
+        Cheap relative to decoding. Its `n_frames` output lets a server
+        pick the smallest compiled mel-frame bucket for `infer_decode`, so
+        the flow decoder + vocoder run near the utterance's real length
+        instead of a global max_frames. (The reference's sample_full,
+        tts_lightning_modules.py:286-384, is monolithic at a fixed max; on
+        TPU, static shapes make the bucketed split the idiomatic serving
+        shape — only the few-byte n_frames crosses to the host between
+        stages, txt_enc/durations stay device-resident.)
         """
         c = self.config
         in_lens = SeqLens.create(text_lens, text.shape[1])
+        dur_spk = self.encode_speaker(duration_speaker_ids)
+        accent_vecs = (self.encode_accent(accent_ids)
+                       if (c.use_accent and accent_ids is not None) else None)
+        txt_enc, _ = self.encode_text(text, in_lens, accent_vecs,
+                                      train=False)
+        durations = self.duration_predictor.infer(
+            txt_enc, dur_spk, in_lens, accent_emb=accent_vecs)[..., 0]
+        durations = jnp.clip(jnp.round(durations), 1, token_duration_max)
+        durations = (durations * in_lens.fmask(durations.dtype)).astype(jnp.int32)
+        return {"txt_enc": txt_enc, "durations": durations,
+                "n_frames": durations.sum(-1)}
+
+    def infer_decode(self, rng, txt_enc, durations, speaker_ids,
+                     decoder_speaker_ids=None, f0_speaker_ids=None,
+                     energy_speaker_ids=None, accent_ids=None, f0_mean=None,
+                     f0_std=None, sigma: float = 1.0, max_frames: int = 1024,
+                     shift_stats: bool = True):
+        """Stage B of two-stage serving: encoder states + durations -> mel.
+
+        Everything from length regulation onward (frame attributes, flow
+        decoder sampling); `max_frames` is the compiled bucket picked from
+        stage A's n_frames. `infer` composes A and B at one max_frames.
+        """
+        c = self.config
         if decoder_speaker_ids is None:
             decoder_speaker_ids = speaker_ids
         if f0_speaker_ids is None:
             f0_speaker_ids = speaker_ids
         if energy_speaker_ids is None:
             energy_speaker_ids = speaker_ids
-        if duration_speaker_ids is None:
-            duration_speaker_ids = speaker_ids
 
         dec_spk = self.encode_speaker(decoder_speaker_ids)
         f0_spk = self.encode_speaker(f0_speaker_ids)
         energy_spk = self.encode_speaker(energy_speaker_ids)
-        dur_spk = self.encode_speaker(duration_speaker_ids)
         accent_vecs = (self.encode_accent(accent_ids)
                        if (c.use_accent and accent_ids is not None) else None)
-
-        txt_enc, _ = self.encode_text(text, in_lens, accent_vecs,
-                                      train=False)
-
-        durations = self.duration_predictor.infer(
-            txt_enc, dur_spk, in_lens, accent_emb=accent_vecs)[..., 0]
-        durations = jnp.clip(jnp.round(durations), 1, token_duration_max)
-        durations = (durations * in_lens.fmask(durations.dtype)).astype(jnp.int32)
 
         context, out_len_vals = regulate_length(txt_enc, durations,
                                                 max_frames)
@@ -402,6 +419,30 @@ class TTSModel(nn.Module):
         mel = mel_descale(dec_out["mel"]) if c.scale_mel else dec_out["mel"]
         return {"mel": mel, "lens": out_lens, "durations": durations,
                 "f0": f0, "energy": energy, "voiced": voiced}
+
+    def infer(self, rng, text, text_lens, speaker_ids,
+              decoder_speaker_ids=None, f0_speaker_ids=None,
+              energy_speaker_ids=None, duration_speaker_ids=None,
+              accent_ids=None, f0_mean=None, f0_std=None, sigma: float = 1.0,
+              max_frames: int = 1024, shift_stats: bool = True,
+              token_duration_max: int = 100):
+        """Full TTS sampling (sample_full, tts_lightning_modules.py:286-384):
+        infer_durations + infer_decode at one max_frames.
+
+        Returns dict with mel (B, max_frames, n_mel) (descaled) and lens.
+        """
+        if duration_speaker_ids is None:
+            duration_speaker_ids = speaker_ids
+        d = self.infer_durations(text, text_lens, duration_speaker_ids,
+                                 accent_ids=accent_ids,
+                                 token_duration_max=token_duration_max)
+        return self.infer_decode(
+            rng, d["txt_enc"], d["durations"], speaker_ids,
+            decoder_speaker_ids=decoder_speaker_ids,
+            f0_speaker_ids=f0_speaker_ids,
+            energy_speaker_ids=energy_speaker_ids, accent_ids=accent_ids,
+            f0_mean=f0_mean, f0_std=f0_std, sigma=sigma,
+            max_frames=max_frames, shift_stats=shift_stats)
 
     def reconstruct(self, rng, batch, sigma: float = 1.0):
         """Reconstruction/voice-cloning path: GT F0/energy + MAS durations

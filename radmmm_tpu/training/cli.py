@@ -140,13 +140,16 @@ def main(argv: List[str] = None):
                        for b in buckets.split(",") if b]
         elif buckets:
             buckets = [tuple(int(d) for d in b) for b in buckets]
+        frame_buckets = ex.get("frame_buckets")
+        if isinstance(frame_buckets, str):  # "--export.frame_buckets=192,384,800"
+            frame_buckets = [int(f) for f in frame_buckets.split(",") if f]
         trainer.export(
             ex.get("path", os.path.join(trainer.cfg.output_directory,
                                         "tts_export.bin")),
             batch_size=ex.get("batch_size", 8),
             max_text=ex.get("max_text", 96),
             use_vocoder=ex.get("use_vocoder", True),
-            buckets=buckets)
+            buckets=buckets, frame_buckets=frame_buckets)
     else:
         trainer.predict(dm)
 

@@ -732,7 +732,7 @@ class Trainer:
         }
 
     def export(self, path: str, batch_size: int = 8, max_text: int = 96,
-               use_vocoder: bool = True, buckets=None,
+               use_vocoder: bool = True, buckets=None, frame_buckets=None,
                state: Optional[TrainState] = None) -> int:
         """AOT-export the trained TTS function to a self-contained serving
         artifact (radmmm_tpu/serving.py). Requires a checkpoint unless a
@@ -756,9 +756,11 @@ class Trainer:
                        sigma=self.cfg.sigma_infer,
                        max_frames=self.cfg.max_infer_frames,
                        vocoder=vocoder, vocoder_vars=voc_vars,
-                       buckets=buckets)
+                       buckets=buckets, frame_buckets=frame_buckets)
         kind = "audio" if vocoder else "mel"
         what = (f"{len(buckets)}-bucket {kind}" if buckets else kind)
+        if frame_buckets:
+            what += f", two-stage x{len(frame_buckets)} frame buckets"
         print(f"exported {what} TTS artifact ({n / 1e6:.1f} MB) to {path}")
         return n
 

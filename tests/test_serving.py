@@ -165,6 +165,105 @@ def test_vocoder_export_int16_pcm(tmp_path):
     np.testing.assert_array_equal(got, audio[0])
 
 
+def _tiny_model_and_vars(seed=3):
+    rng = np.random.default_rng(seed)
+    model = TTSModel(config=tiny_config())
+    batch = tiny_batch(rng)
+    variables = jax.jit(
+        functools.partial(model.init, binarize=False, train=True))(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            batch)
+    return rng, model, variables
+
+
+def test_two_stage_matches_monolithic_infer():
+    """TwoStageTTS at a forced single bucket == monolithic infer at the
+    same max_frames (pure refactor: same ops, same rng)."""
+    from radmmm_tpu.serving import TwoStageTTS
+
+    rng, model, variables = _tiny_model_and_vars()
+    B, T, MF = 2, 7, 32
+    args = (jnp.asarray(rng.integers(1, 30, (B, T)), jnp.int32),
+            jnp.asarray([T, T - 2], jnp.int32),
+            jnp.asarray([0, 2], jnp.int32),
+            jnp.asarray([0, 1], jnp.int32),
+            jnp.asarray([5.0, 5.2], jnp.float32),
+            jnp.asarray([0.3, 0.4], jnp.float32))
+    seed = 11
+
+    mono = jax.jit(make_tts_fn(model, variables, sigma=0.8, max_frames=MF))
+    mel1, lens1 = mono(*args, jnp.int32(seed))
+
+    ts = TwoStageTTS(model, variables, frame_buckets=(MF,), sigma=0.8)
+    mel2, lens2 = ts(*args, seed)
+    np.testing.assert_array_equal(np.asarray(lens1), np.asarray(lens2))
+    np.testing.assert_allclose(np.asarray(mel1), np.asarray(mel2),
+                               atol=1e-5)
+
+
+def test_two_stage_bucket_selection():
+    """The dispatcher picks the smallest frame bucket covering the
+    predicted total frames; the mel comes back at that bucket's length and
+    lens never exceed it."""
+    from radmmm_tpu.serving import TwoStageTTS
+
+    rng, model, variables = _tiny_model_and_vars(seed=4)
+    B, T = 2, 7
+    args = (jnp.asarray(rng.integers(1, 30, (B, T)), jnp.int32),
+            jnp.asarray([T, T], jnp.int32),
+            jnp.asarray([0, 1], jnp.int32),
+            jnp.asarray([0, 1], jnp.int32),
+            jnp.asarray([5.0, 5.0], jnp.float32),
+            jnp.asarray([0.3, 0.3], jnp.float32))
+    ts = TwoStageTTS(model, variables, frame_buckets=(16, 32, 64),
+                     sigma=0.8)
+    _, _, n_frames = ts.dur(*args[:4])
+    expect = ts.pick_bucket(n_frames)
+    mel, lens = ts(*args, 5)
+    assert mel.shape[1] == expect
+    assert int(np.asarray(lens).max()) <= expect
+    # a tighter ladder picks a smaller program for the same request
+    ts_small = TwoStageTTS(model, variables, frame_buckets=(8,), sigma=0.8)
+    mel_s, lens_s = ts_small(*args, 5)
+    assert mel_s.shape[1] == 8 and int(np.asarray(lens_s).max()) <= 8
+
+
+def test_two_stage_export_roundtrip(tmp_path):
+    """Version-2 (two-stage) artifact: dur program + per-frame-bucket
+    decode programs; the loaded callable matches the in-process
+    TwoStageTTS bit-for-bit at the same seed."""
+    from radmmm_tpu.serving import TwoStageTTS
+
+    rng, model, variables = _tiny_model_and_vars(seed=5)
+    B, T = 2, 7
+    path = str(tmp_path / "tts2.bin")
+    n = export_tts(model, variables, path, sigma=0.8,
+                   buckets=[(B, T)], frame_buckets=(16, 48))
+    assert n > 10_000
+    served = load_tts(path)
+    assert served.buckets == [(B, T)]
+    assert served.frame_buckets == [16, 48]
+
+    args = (rng.integers(1, 30, (B, T)).astype(np.int32),
+            np.asarray([T, T - 1], np.int32),
+            np.asarray([1, 2], np.int32),
+            np.asarray([0, 1], np.int32),
+            np.asarray([5.0, 5.1], np.float32),
+            np.asarray([0.3, 0.35], np.float32))
+    mel_served, lens_served = served(*args, np.int32(9))
+
+    ts = TwoStageTTS(model, variables, frame_buckets=(16, 48), sigma=0.8)
+    mel_live, lens_live = ts(*[jnp.asarray(a) for a in args], 9)
+    np.testing.assert_array_equal(np.asarray(lens_served),
+                                  np.asarray(lens_live))
+    np.testing.assert_allclose(np.asarray(mel_served),
+                               np.asarray(mel_live), atol=1e-5)
+    # a smaller request batch dispatches through padding and trims back
+    mel1, lens1 = served(args[0][:1], *[a[:1] for a in args[1:]],
+                         np.int32(9))
+    assert mel1.shape[0] == 1 and np.asarray(lens1).shape == (1,)
+
+
 def test_trainer_export_from_checkpoint(tmp_path):
     """CLI-facing path: Trainer.export restores the checkpoint and writes a
     loadable artifact (mel-only: no vocoder ckpt configured)."""
