@@ -153,6 +153,13 @@ def main():
                                  if sps is not None else None),
         "val_loss_final": (float(series["val/loss"][-1, 1])
                            if "val/loss" in series else None),
+        # objective quality scalars from the final validation — the
+        # committed calibration baseline for slow-regression comparison
+        # (utils/quality.py; VERDICT r4 weak #7)
+        "val_quality_final": {
+            k.split("/")[1]: float(series[k][-1, 1])
+            for k in ("val/mcd_db", "val/f0_rmse", "val/voicing_f1")
+            if k in series},
         "artifacts": copied,
     }
     with open(os.path.join(args.out_dir, "summary.json"), "w") as f:

@@ -1,17 +1,26 @@
 """Profiler-trace op breakdown of the flagship train step (real TPU).
 
 Runs a few B=32 bf16 train steps under jax.profiler.trace and aggregates
-the XLA-op events from the captured .trace.json.gz: per-op-category device
-time, top individual fusions, and the conv (MXU) share vs everything else.
-This is the MEASURED counterpart to cost_analysis()'s no-fusion upper
-bounds (VERDICT r4 weak #1 / next #1): trace durations are what the chip
-actually did, so "X% of step time is conv at Y% of its ideal MXU time"
-becomes a statement of evidence, not labeling.
+the XLA-op events from the captured .trace.json.gz USING THE PROFILER'S
+OWN PER-OP METADATA: every device event carries `hlo_category` (the real
+post-fusion category — on TPU a conv arrives as "convolution fusion", so
+name-prefix sniffing miscounts it as elementwise), `bytes_accessed` (the
+compiled, post-fusion HLO's memory traffic — the measured counterpart to
+cost_analysis()'s no-fusion upper bounds; it counts all memory spaces, so
+per-category effective GB/s above the 819 GB/s HBM peak indicates
+VMEM-resident traffic), `model_flops`, and `tf_op` (the jaxpr scope path,
+letting time be attributed to model components and split fwd/bwd).
+
+Emits (VERDICT r4 weak #1 / next #1 — the measured roofline):
+  * per-hlo_category time / bytes / flops with effective TF/s + GB/s,
+  * MXU efficiency-while-active for convolution fusions, fwd vs bwd,
+  * per-model-component time (decoder WN stacks vs encoder vs predictors),
+  * an achievable-step-time roofline: conv flops at peak + non-conv bytes
+    at HBM peak + measured scan (while) latency, vs the measured step.
 
 Usage: python scripts/profile_step_trace.py [--batch 32] [--f32]
            [--steps 3] [--out /tmp/radmmm_trace]
-Prints a category table + top-25 ops and writes a JSON summary next to
-the trace dir.
+Prints the tables and writes summary.json next to the trace dir.
 """
 from __future__ import annotations
 
@@ -21,7 +30,6 @@ import glob
 import gzip
 import json
 import os
-import re
 import sys
 import time
 
@@ -52,50 +60,22 @@ def make_batch(B, T_TEXT, T_MEL):
     }
 
 
-# op-name prefix -> category. Fusion names keep their root op
-# ("fusion.123" wrapping a conv is named "...conv..." by XLA's
-# emitted metadata only sometimes, so also sniff common roots).
-_CATEGORIES = [
-    ("conv", "conv (MXU)"),
-    ("dot", "dot (MXU)"),
-    ("cumsum", "cumsum"),
-    ("while", "while (scan: LSTM/MAS/CTC)"),
-    ("custom-call", "custom-call (pallas)"),
-    ("all-reduce", "collectives"),
-    ("reduce-scatter", "collectives"),
-    ("all-gather", "collectives"),
-    ("scatter", "scatter"),
-    ("gather", "gather"),
-    ("sort", "sort"),
-    ("rng", "rng"),
-    ("fusion", "elementwise fusion"),
-    ("copy", "copy/transpose"),
-    ("transpose", "copy/transpose"),
-    ("reshape", "copy/transpose"),
-    ("bitcast", "copy/transpose"),
-    ("reduce", "reduce"),
-    ("select-and-scatter", "pooling"),
-    ("convert", "convert"),
-    ("dynamic", "dyn-slice/update"),
-    ("slice", "dyn-slice/update"),
-    ("broadcast", "broadcast"),
-    ("iota", "broadcast"),
-    ("constant", "broadcast"),
-    ("pad", "pad"),
-    ("concatenate", "concat"),
-]
-
-
-def categorize(name: str) -> str:
-    base = name.split("/")[-1] if "/" in name else name
-    for prefix, cat in _CATEGORIES:
-        if base.startswith(prefix):
-            return cat
-    return "other"
+def component_of(tf_op: str) -> str:
+    """Map a jaxpr scope path to a model component bucket."""
+    for key, comp in (("decoder", "flow decoder (WN stacks)"),
+                      ("encode_text", "text encoder"),
+                      ("compute_attention", "conv attention"),
+                      ("predictor", "attribute predictors"),
+                      ("binarize", "MAS/binarization")):
+        if key in tf_op:
+            return comp
+    if "while" in tf_op:
+        return "scans (LSTM/MAS/CTC)"
+    return "loss/optimizer/glue"
 
 
 def parse_trace(trace_dir: str):
-    """Aggregate XLA-op events from the newest trace.json.gz under dir."""
+    """Aggregate XLA-op events (with args metadata) from the newest trace."""
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
@@ -110,20 +90,20 @@ def parse_trace(trace_dir: str):
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             tid_names[(e["pid"], e["tid"])] = e["args"]["name"]
     op_tids = {k for k, v in tid_names.items() if "XLA Ops" in v}
-    per_op = collections.Counter()        # name -> total us
-    per_op_n = collections.Counter()
-    occupancy = []                        # (ts, dur) of op events
+    recs = []        # (dur_us, category, bytes, flops, tf_op, name)
     for e in events:
         if e.get("ph") != "X":
             continue
         if (e.get("pid"), e.get("tid")) not in op_tids:
             continue
-        name = e.get("name", "?")
-        dur = float(e.get("dur", 0.0))    # microseconds
-        per_op[name] += dur
-        per_op_n[name] += 1
-        occupancy.append((float(e["ts"]), dur))
-    return path, per_op, per_op_n, occupancy
+        a = e.get("args") or {}
+        recs.append((float(e.get("dur", 0.0)),
+                     a.get("hlo_category", "?"),
+                     float(a.get("bytes_accessed", 0) or 0),
+                     float(a.get("model_flops", 0) or 0),
+                     a.get("tf_op", ""),
+                     e.get("name", "?")))
+    return path, recs
 
 
 def main():
@@ -177,37 +157,108 @@ def main():
             state, m = step(state, batch, jax.random.fold_in(key, 100 + i))
         float(m["loss"])
 
-    path, per_op, per_op_n, occupancy = parse_trace(args.out)
-    total_us = sum(per_op.values())
-    per_step_us = total_us / args.steps
-    # device busy span: union of op intervals is ~ sum for serial TPU cores
-    cats = collections.Counter()
-    for name, us in per_op.items():
-        cats[categorize(name)] += us
+    path, recs = parse_trace(args.out)
+    report(path, recs, steps=args.steps, wall=wall, B=B, T_MEL=T_MEL,
+           precision="f32" if args.f32 else "bf16", out_dir=args.out)
+
+
+def report(path, recs, *, steps, wall, B, T_MEL, precision, out_dir):
+    """Aggregate parsed trace records and print tables + roofline; write
+    summary.json. Separated from main() so it can be driven standalone on
+    an existing trace directory (python -c ... report(*parse_trace(d))).
+    """
+    S = steps
+    PEAK_FLOPS, PEAK_HBM = 197e12, 819e9   # v5e bf16 / HBM peaks
+
+    cat = collections.defaultdict(lambda: [0.0, 0.0, 0.0])   # us, bytes, fl
+    comp = collections.defaultdict(lambda: [0.0, 0.0, 0.0])
+    conv_dir = collections.defaultdict(lambda: [0.0, 0.0, 0.0])
+    tot_us = tot_b = tot_fl = 0.0
+    for dur, c, b, fl, tf_op, _name in recs:
+        for agg, key in ((cat, c), (comp, component_of(tf_op))):
+            agg[key][0] += dur
+            agg[key][1] += b
+            agg[key][2] += fl
+        tot_us += dur
+        tot_b += b
+        tot_fl += fl
+        if c == "convolution fusion":
+            d = "bwd" if "transpose(" in tf_op else "fwd"
+            conv_dir[d][0] += dur
+            conv_dir[d][1] += b
+            conv_dir[d][2] += fl
+
+    def table(title, agg):
+        print(f"\n{title:36s} {'ms/step':>8s} {'share':>6s} {'GB/step':>8s}"
+              f" {'TF/step':>8s} {'GB/s':>6s} {'TF/s':>6s} {'%MXU':>6s}")
+        for key, (us, b, fl) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
+            if us / S < 10:          # skip <10us/step rows
+                continue
+            sec = us / 1e6 / S
+            print(f"{key:36s} {us / 1e3 / S:8.2f} {us / tot_us:6.1%} "
+                  f"{b / S / 1e9:8.3f} {fl / S / 1e12:8.3f} "
+                  f"{b / S / 1e9 / sec:6.0f} {fl / S / 1e12 / sec:6.1f} "
+                  f"{fl / S / sec / PEAK_FLOPS:6.1%}")
+
     print(f"\ntrace: {path}")
-    print(f"device op time: {total_us / 1e3:.1f} ms total, "
-          f"{per_step_us / 1e3:.1f} ms/step over {args.steps} steps")
-    print(f"device busy / wall: {per_step_us / 1e6 / wall:.2%}\n")
-    print(f"{'category':34s} {'ms/step':>9s} {'share':>7s}")
-    for cat, us in cats.most_common():
-        print(f"{cat:34s} {us / args.steps / 1e3:9.2f} "
-              f"{us / total_us:7.1%}")
-    print(f"\ntop 25 ops (of {len(per_op)}):")
-    print(f"{'op':64s} {'ms/step':>8s} {'n':>4s}")
-    for name, us in per_op.most_common(25):
-        print(f"{name[:64]:64s} {us / args.steps / 1e3:8.2f} "
-              f"{per_op_n[name] // args.steps:4d}")
+    print(f"device op time: {tot_us / 1e3 / S:.1f} ms/step over {S} steps; "
+          f"bytes {tot_b / S / 1e9:.1f} GB/step (all memory spaces, "
+          f"post-fusion); flops {tot_fl / S / 1e12:.2f} TF/step")
+    print(f"MFU over device-busy time: "
+          f"{tot_fl / (tot_us / 1e6) / PEAK_FLOPS:.1%}; over wall: "
+          f"{tot_fl / S / wall / PEAK_FLOPS:.1%}")
+    table("hlo_category", cat)
+    table("model component (tf_op scopes)", comp)
+    table("convolution fusions by direction", conv_dir)
+
+    # Achievable-step roofline from MEASURED quantities: conv flops at the
+    # MXU peak, everything else at the better of its measured rate or the
+    # HBM peak on its measured bytes (while/scan time is latency-bound —
+    # taken as measured). This is the defensible lower bound on step time.
+    conv_us, conv_b, conv_fl = cat.get("convolution fusion", [0, 0, 0])
+    while_us = cat.get("while", [0, 0, 0])[0]
+    other_us = tot_us - conv_us - while_us
+    other_b = tot_b - conv_b - cat.get("while", [0, 0, 0])[1]
+    conv_ideal = conv_fl / PEAK_FLOPS * 1e6            # us
+    other_ideal = min(other_us, other_b / PEAK_HBM * 1e6)
+    achievable_us = conv_ideal + other_ideal + while_us
+    print(f"\nroofline (measured): conv at MXU peak "
+          f"{conv_ideal / S / 1e3:.1f} ms + non-conv at HBM peak "
+          f"{other_ideal / S / 1e3:.1f} ms + scans (latency-bound, as "
+          f"measured) {while_us / S / 1e3:.1f} ms = achievable "
+          f"{achievable_us / S / 1e3:.1f} ms/step")
+    print(f"measured {tot_us / S / 1e3:.1f} ms/step = "
+          f"{tot_us / achievable_us:.2f}x achievable; conv efficiency "
+          f"while active: fwd "
+          f"{conv_dir['fwd'][2] / (conv_dir['fwd'][0] / 1e6) / PEAK_FLOPS:.1%}"
+          f", bwd "
+          f"{conv_dir['bwd'][2] / (conv_dir['bwd'][0] / 1e6) / PEAK_FLOPS:.1%}"
+          if conv_dir.get("fwd") and conv_dir.get("bwd") else "")
+
     summary = {
         "step_wall_ms": wall * 1e3,
-        "device_op_ms_per_step": per_step_us / 1e3,
-        "categories_ms_per_step": {k: v / args.steps / 1e3
-                                   for k, v in cats.items()},
-        "top_ops_ms_per_step": {k: v / args.steps / 1e3
-                                for k, v in per_op.most_common(40)},
+        "device_op_ms_per_step": tot_us / 1e3 / S,
+        "bytes_gb_per_step": tot_b / S / 1e9,
+        "model_tflops_per_step": tot_fl / S / 1e12,
+        "mfu_device_busy": tot_fl / (tot_us / 1e6) / PEAK_FLOPS,
+        "achievable_ms_per_step": achievable_us / 1e3 / S,
+        "measured_over_achievable": tot_us / achievable_us,
+        "conv_fwd_tfs": (conv_dir["fwd"][2] / (conv_dir["fwd"][0] / 1e6) / 1e12
+                         if conv_dir.get("fwd") else None),
+        "conv_bwd_tfs": (conv_dir["bwd"][2] / (conv_dir["bwd"][0] / 1e6) / 1e12
+                         if conv_dir.get("bwd") else None),
+        "categories": {k: {"ms_per_step": v[0] / 1e3 / S,
+                           "gb_per_step": v[1] / S / 1e9,
+                           "tf_per_step": v[2] / S / 1e12}
+                       for k, v in cat.items()},
+        "components": {k: {"ms_per_step": v[0] / 1e3 / S,
+                           "gb_per_step": v[1] / S / 1e9,
+                           "tf_per_step": v[2] / S / 1e12}
+                       for k, v in comp.items()},
         "batch": B, "t_mel": T_MEL,
-        "precision": "f32" if args.f32 else "bf16",
+        "precision": precision,
     }
-    out_json = os.path.join(args.out, "summary.json")
+    out_json = os.path.join(out_dir, "summary.json")
     with open(out_json, "w") as f:
         json.dump(summary, f, indent=1)
     print(f"\nwrote {out_json}")
