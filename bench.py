@@ -78,13 +78,18 @@ def bench_training(precision: str = "f32", prefix: str = "train",
     _enable_compile_cache()
     set_conv_precision(precision)
     B, T_TEXT, T_MEL = batch_size, 96, 512
-    # flow-step remat is bit-identical and faster in BOTH precisions on
-    # this HBM-bound step (f32: 215 vs 283 ms; bf16: 64 vs 106 ms
-    # round-3 surgery ablation): recomputing the WN stacks costs less than
-    # spilling their saved activations to HBM
-    dec = dict(default_radmmm_config().decoder)
-    dec["remat"] = True
-    model = TTSModel(config=default_radmmm_config(decoder=dec))
+    # remat=False (the shipped flow_decoder default): round 5 re-measured
+    # the round-3 "remat is faster" ablation AFTER the bf16 operand-cast
+    # change halved saved-activation bytes, and it inverted — B=32 bf16:
+    # remat True/save_wn/False = 133.2 / 123.4 / 114.3 ms/step (143.4k
+    # frames/s at False, +16.6% over True). Full remat re-executes the WN
+    # convs in the backward (3.4 TF/step of recompute, measured in the
+    # profiler trace — scripts/profile_step_trace.py); with bf16 saved
+    # activations the spill traffic costs less than the recompute. MFU
+    # reads lower at False (0.49 vs 0.55) because the denominator stops
+    # counting redundant recompute FLOPs as work — frames/s is the metric
+    # that tracks real training speed.
+    model = TTSModel(config=default_radmmm_config())
     rng = np.random.default_rng(0)
     prior = rng.uniform(0.1, 1.0, (B, T_MEL, T_TEXT)).astype(np.float32)
     prior /= prior.sum(-1, keepdims=True)
@@ -327,9 +332,9 @@ def bench_train_e2e(f0_cache: bool, n_steps: int = 24,
                         hop_length=feat.hop_length, shape_runs=megastep_k,
                         uniform_shape=True)
 
-    dec = dict(default_radmmm_config().decoder)
-    dec["remat"] = True
-    model = TTSModel(config=default_radmmm_config(decoder=dec))
+    # remat=False: the shipped default, re-measured fastest in round 5
+    # (see bench_training's remat note)
+    model = TTSModel(config=default_radmmm_config())
     tx = build_optimizer("RAdam", learning_rate=1e-4, weight_decay=1e-6,
                          grad_clip_val=1.0)
     cfg = LossConfig(n_group_size=2, cross_covariance_weight=1.0,
@@ -434,6 +439,24 @@ def bench_train_e2e(f0_cache: bool, n_steps: int = 24,
         per_mega = max((t3 - t1) / 2, 1e-9)
         out[f"train_e2e_{tag}_device_frames_per_sec_per_chip"] = \
             round(frames / per_mega, 1)
+
+        # Overlap accounting (VERDICT r4 next #5): how much of the group
+        # upload hides behind the previous group's compute. Per K-group we
+        # have u = measured upload seconds, c = measured megastep compute
+        # seconds, and the timed run's realized wall per group
+        # w = frames_per_group / fps. With perfect depth-2 overlap
+        # w -> max(u, c); with none w -> u + c. hidden = (u + c - w) / u
+        # is the fraction of the upload the pipeline actually hid (host
+        # IO/collate rides in the producer thread and lands in the same
+        # residual). A low value at high relay_upload_mbps would indict the
+        # pipeline; a low value with u >> c is pure tunnel bandwidth.
+        u = float(np.median(ts))
+        w = frames / fps
+        hidden = (per_mega + u - w) / max(u, 1e-9)
+        out["train_e2e_upload_s_per_group"] = round(u, 3)
+        out["train_e2e_compute_s_per_group"] = round(per_mega, 3)
+        out["train_e2e_wall_s_per_group"] = round(w, 3)
+        out["train_e2e_overlap_frac"] = round(min(max(hidden, 0.0), 1.0), 3)
     return out
 
 
@@ -586,6 +609,83 @@ def bench_serving(model, variables, heads,
             if B == 32 and suffix == "":
                 out["serving_fetched_mb_per_request"] = round(
                     nbytes / (2 * n_requests) / 1e6, 2)
+
+    # --- two-stage bucketed serving (the production path, serving.py
+    # TwoStageTTS / version-2 exports): stage A predicts durations, only
+    # n_frames crosses to the host, stage B decodes + vocodes at the
+    # smallest compiled mel-frame bucket covering the batch — so compute
+    # AND egress scale with the requests' real lengths instead of the
+    # monolithic max_frames=800 above. Same client-byte fetches.
+    from collections import deque
+
+    from radmmm_tpu.serving import TwoStageTTS
+
+    voc_v1, vv_v1 = heads[""]
+    for B in (8, 32):
+        ts2 = TwoStageTTS(model, variables,
+                          frame_buckets=(192, 384, 576, max_frames),
+                          sigma=0.8, vocoder=voc_v1, vocoder_vars=vv_v1)
+        rng = np.random.default_rng(0)
+        tag = f"b{B}_2stage"
+
+        def make_args(key_i, rng=rng, B=B):
+            pick = rng.choice(len(enc), B, replace=True)
+            text = np.zeros((B, T_pad), np.int32)
+            lens = np.zeros((B,), np.int32)
+            for i, j in enumerate(pick):
+                text[i, : len(enc[j])] = enc[j]
+                lens[i] = len(enc[j])
+            return (jnp.asarray(text), jnp.asarray(lens),
+                    jnp.asarray(rng.integers(0, 21, (B,)), jnp.int32),
+                    jnp.asarray(rng.integers(0, 7, (B,)), jnp.int32),
+                    jnp.full((B,), 5.0, jnp.float32),
+                    jnp.full((B,), 0.3, jnp.float32), key_i)
+
+        # compile stage A + every frame bucket's stage B up front
+        a0 = make_args(0)
+        te, du, nf = ts2.dur(*a0[:4])
+        for f in ts2.frame_buckets:
+            force(ts2.decode[f](te, du, a0[2], a0[3], a0[4], a0[5], 0))
+
+        # sync rows: request-at-a-time, dur -> n_frames -> decode -> fetch
+        lat, audio_s = [], 0.0
+        for i in range(n_requests):
+            t0 = time.perf_counter()
+            audio_s += force(ts2(*make_args(i + 1)))[0]
+            lat.append(time.perf_counter() - t0)
+        lat = np.sort(np.asarray(lat))
+        out[f"serving_{tag}_p50_ms"] = round(
+            float(lat[len(lat) // 2]) * 1e3, 1)
+        out[f"serving_{tag}_p95_ms"] = round(
+            float(lat[int(len(lat) * 0.95)]) * 1e3, 1)
+        out[f"serving_{tag}_rtf_sync"] = round(audio_s / float(lat.sum()), 1)
+
+        # pipelined: durations dispatched ahead (their n_frames fetch rides
+        # behind already-queued decodes), decodes buffered depth-3
+        durs, inflight, audio_s, nbytes = deque(), deque(), 0.0, 0
+        t0 = time.perf_counter()
+        for i in range(2 * n_requests):
+            args = make_args(100 + i)
+            durs.append((args, ts2.dur(*args[:4])))
+            if len(durs) >= 2:
+                args_j, (te, du, nf) = durs.popleft()
+                mf = ts2.pick_bucket(nf)
+                inflight.append(ts2.decode[mf](
+                    te, du, args_j[2], args_j[3], args_j[4], args_j[5],
+                    args_j[6]))
+            if len(inflight) >= DEPTH:
+                s, nb = force(inflight.popleft())
+                audio_s, nbytes = audio_s + s, nbytes + nb
+        for args_j, (te, du, nf) in durs:
+            mf = ts2.pick_bucket(nf)
+            inflight.append(ts2.decode[mf](
+                te, du, args_j[2], args_j[3], args_j[4], args_j[5],
+                args_j[6]))
+        while inflight:
+            s, nb = force(inflight.popleft())
+            audio_s, nbytes = audio_s + s, nbytes + nb
+        wall = time.perf_counter() - t0
+        out[f"serving_{tag}_rtf_pipelined"] = round(audio_s / wall, 1)
 
     # Raw egress bandwidth of the device->host path, measured on a result
     # whose compute is already complete: dispatch request A, force a later

@@ -64,7 +64,8 @@ def make_tts_fn(model, variables, *, sigma: float = 0.8,
                           method=TTSModel.infer)
         mel, lens = out["mel"], out["lens"].lengths
         if vocoder is not None:
-            audio = vocoder.apply(vocoder_vars, mel)
+            audio = vocoder.apply(vocoder_vars,
+                                  mel.astype(_param_dtype(vocoder_vars)))
             if pcm_int16:
                 audio = jnp.round(
                     jnp.clip(audio.astype(jnp.float32), -1.0, 1.0)
@@ -73,6 +74,14 @@ def make_tts_fn(model, variables, *, sigma: float = 0.8,
         return mel, lens
 
     return tts
+
+
+def _param_dtype(variables):
+    """dtype of a variable collection's leaves — serving commonly carries
+    bf16-cast vocoder params (halves HBM traffic on the upsampled
+    sequences); the mel input must match the conv kernels' dtype."""
+    import jax
+    return jax.tree_util.tree_leaves(variables)[0].dtype
 
 
 def make_two_stage_fns(model, variables, *, sigma: float = 0.8,
@@ -114,7 +123,8 @@ def make_two_stage_fns(model, variables, *, sigma: float = 0.8,
                               method=TTSModel.infer_decode)
             mel, lens = out["mel"], out["lens"].lengths
             if vocoder is not None:
-                audio = vocoder.apply(vocoder_vars, mel)
+                audio = vocoder.apply(vocoder_vars,
+                                      mel.astype(_param_dtype(vocoder_vars)))
                 if pcm_int16:
                     audio = jnp.round(
                         jnp.clip(audio.astype(jnp.float32), -1.0, 1.0)

@@ -112,6 +112,8 @@ def main():
     ap.add_argument("--tmel", type=int, default=512)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--remat", default="False",
+                    help="decoder remat policy: False | True | save_wn")
     ap.add_argument("--out", default="/tmp/radmmm_trace")
     args = ap.parse_args()
 
@@ -130,7 +132,7 @@ def main():
     set_conv_precision("f32" if args.f32 else "bf16")
     B, T_TEXT, T_MEL = args.batch, 96, args.tmel
     dec = dict(default_radmmm_config().decoder)
-    dec["remat"] = True
+    dec["remat"] = {"False": False, "True": True}.get(args.remat, args.remat)
     model = TTSModel(config=default_radmmm_config(decoder=dec))
     batch = make_batch(B, T_TEXT, T_MEL)
     tx = build_optimizer("RAdam", learning_rate=1e-4, weight_decay=1e-6,

@@ -264,6 +264,38 @@ def test_two_stage_export_roundtrip(tmp_path):
     assert mel1.shape[0] == 1 and np.asarray(lens1).shape == (1,)
 
 
+def test_two_stage_bf16_vocoder_head():
+    """Serving commonly carries bf16-cast vocoder params (the bench/server
+    configuration); both tts fns must cast the f32 mel to the head's param
+    dtype instead of tripping a conv dtype mismatch."""
+    from radmmm_tpu.serving import TwoStageTTS, make_tts_fn
+    from radmmm_tpu.vocoder.hifigan import Generator, HiFiGANConfig
+
+    rng, model, variables = _tiny_model_and_vars(seed=6)
+    voc = Generator(config=HiFiGANConfig(
+        upsample_rates=(4, 2), upsample_kernel_sizes=(8, 4),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3, 5),
+        resblock_dilation_sizes=((1, 3), (1, 3)), n_mel_channels=8))
+    voc_vars = jax.jit(voc.init)(jax.random.key(7), jnp.zeros((1, 16, 8)))
+    voc_vars = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), voc_vars)
+
+    B, T = 1, 8
+    args = (jnp.asarray(rng.integers(1, 30, (B, T)), jnp.int32),
+            jnp.asarray([T], jnp.int32), jnp.asarray([0], jnp.int32),
+            jnp.asarray([0], jnp.int32), jnp.asarray([5.0], jnp.float32),
+            jnp.asarray([0.3], jnp.float32))
+    mono = jax.jit(make_tts_fn(model, variables, sigma=0.8, max_frames=16,
+                               vocoder=voc, vocoder_vars=voc_vars))
+    a1, l1 = mono(*args, jnp.int32(3))
+    ts = TwoStageTTS(model, variables, frame_buckets=(16,), sigma=0.8,
+                     vocoder=voc, vocoder_vars=voc_vars)
+    a2, l2 = ts(*args, 3)
+    assert np.asarray(a1).dtype == np.int16
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
 def test_trainer_export_from_checkpoint(tmp_path):
     """CLI-facing path: Trainer.export restores the checkpoint and writes a
     loadable artifact (mel-only: no vocoder ckpt configured)."""
