@@ -414,24 +414,28 @@ def bench_train_e2e(f0_cache: bool, n_steps: int = 24,
                 break
         stacked_host = stack_raw_batches(pending)
         nbytes = sum(v.nbytes for v in stacked_host.values())
+        bigk = max(stacked_host, key=lambda k: stacked_host[k].nbytes)
+        lasti = tuple(s - 1 for s in stacked_host[bigk].shape)
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
             dev = jax.device_put(stacked_host)
-            jax.block_until_ready(dev)
+            # scalar fetch forces the transfer to actually land (the
+            # relay's block_until_ready can return before it completes)
+            float(dev[bigk][lasti])
             ts.append(time.perf_counter() - t0)
         out["relay_upload_mbps"] = round(nbytes / np.median(ts) / 1e6, 1)
 
         frames = float((1 + stacked_host["audio_lengths"]
                         // feat.hop_length).sum())
         state2, m = mega(state, dev, jax.random.key(10))
-        jax.block_until_ready(m["loss"])
+        float(m["loss"][-1])        # warm: compile + force completion
 
         def mega_window(n, st):
             t0 = time.perf_counter()
             for i in range(n):
                 st, m = mega(st, dev, jax.random.key(11 + i))
-            jax.block_until_ready(m["loss"])
+            float(m["loss"][-1])    # fetch forces real completion
             return time.perf_counter() - t0, st
 
         t1, state2 = mega_window(1, state2)
@@ -457,6 +461,65 @@ def bench_train_e2e(f0_cache: bool, n_steps: int = 24,
         out["train_e2e_compute_s_per_group"] = round(per_mega, 3)
         out["train_e2e_wall_s_per_group"] = round(w, 3)
         out["train_e2e_overlap_frac"] = round(min(max(hidden, 0.0), 1.0), 3)
+
+        # Attribute a zero overlap_frac: can THIS runtime overlap a
+        # host->device transfer with an in-flight execute at all?
+        # (scripts/probe_relay_overlap.py, inlined compact.) Re-dispatch
+        # the already-measured megastep, immediately device_put the
+        # already-measured host group from the same thread, block both:
+        # overlapped ~= max(c, u) -> the runtime interleaves and a zero
+        # overlap_frac would indict the prefetch pipeline; overlapped
+        # ~= c + u -> the relay serializes RPCs and the residual is a
+        # harness property (PCIe hosts DMA transfers concurrently).
+        el = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            st3, m3 = mega(state2, dev, jax.random.key(50 + i))
+            d2 = jax.device_put(stacked_host)
+            # force BOTH through the relay with scalar fetches —
+            # block_until_ready can return before the relay finishes the
+            # RPC (see the timing-methodology note in the module docstring)
+            float(m3["loss"][-1])
+            float(d2[bigk][lasti])
+            el.append(time.perf_counter() - t0)
+            state2 = st3
+        ov = float(np.median(el))
+        cap = (per_mega + u - ov) / max(min(per_mega, u), 1e-9)
+        out["relay_overlap_capable"] = round(max(min(cap, 1.0), 0.0), 3)
+
+        # Control row: identical host pipeline (wav IO -> raw_arrays ->
+        # stack) and consumer loop, but the megastep consumes the already-
+        # resident device group instead of the freshly stacked one — the
+        # tunnel upload is the ONLY difference vs the wall-clock row, so
+        # wall/noupload attributes the gap to tunnel bytes alone.
+        def run_noupload(n):
+            nonlocal state2
+            done, t0 = 0, time.perf_counter()
+            loss = None
+            while done < n:
+                got = 0
+                for pend in groups(megastep_k):
+                    if done >= n:
+                        break
+                    if len(pend) != megastep_k:
+                        continue
+                    got += 1
+                    stack_raw_batches(pend)     # pay the host stack cost
+                    state2, m2 = mega(state2, dev,
+                                      jax.random.key(90 + done))
+                    loss = m2["loss"]
+                    done += megastep_k
+                if done < n and got == 0:
+                    break
+            float(loss[-1])                     # drain
+            return (frames * (done // megastep_k)
+                    / (time.perf_counter() - t0))
+
+        fps_nu = run_noupload(n_steps)
+        out["train_e2e_noupload_frames_per_sec_per_chip"] = round(fps_nu, 1)
+        out["train_e2e_tunnel_share_of_gap"] = round(
+            min(max((1 / fps - 1 / fps_nu) / max(1 / fps - per_mega / frames,
+                                                 1e-9), 0.0), 1.0), 3)
     return out
 
 
