@@ -53,6 +53,17 @@ def prefetch_stacked_groups(loader, featurizer, k: int, depth: int = 2,
     The consumer decides group vs per-batch fallback (phase boundaries):
     a partial or boundary-straddling group is unstacked on device with
     jax.tree.map(lambda x: x[i], stacked) at negligible cost.
+
+    Measured no-go (round 5): streaming each raw BATCH to the device as
+    wav IO finishes it (then jit-stacking the K batches on device) looks
+    like it should hide more upload under compute, but each batch is ~12
+    pytree leaves -> ~96 transfer RPCs per group at the relay's ~30 ms
+    per-RPC latency ≈ 3.9 s of pure overhead: 8.3k frames/s/chip vs 45.9k
+    for this one-burst path on the same day/chip. One stacked pytree per
+    group keeps the RPC count at ~12 per ~19 MB, which amortizes latency
+    to <5% of the transfer; bench.py's relay_overlap_capable row shows the
+    burst itself already rides under compute as far as tunnel bandwidth
+    allows.
     """
     import jax
 
